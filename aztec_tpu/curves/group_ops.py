@@ -1,0 +1,85 @@
+"""Group-operation bundles: the abstract interface the MSM engine consumes.
+
+``JacobianOps`` is the real elliptic-curve instantiation (points = tuples of
+Montgomery limb planes).  ``IntModOps`` is a mock group (Z_m, +) with the same
+tuple-of-arrays calling convention — the MSM engine is group-generic, so all
+of its sorting/raking/scatter logic can be unit-tested against plain integer
+sums in milliseconds (no 256-bit compile costs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..ff import limb
+from ..ff.spec import FieldSpec
+from . import group
+from .spec import CurveSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class JacobianOps:
+    curve: CurveSpec
+
+    @property
+    def spec(self) -> FieldSpec:
+        return self.curve.field
+
+    def infinity(self, batch_shape=()):
+        return group.infinity(self.spec, batch_shape)
+
+    def dbl(self, P):
+        return group.dbl(P, self.spec)
+
+    def add_unsafe(self, P, Q):
+        return group.add_unsafe(P, Q, self.spec)
+
+    def add_complete(self, P, Q):
+        return group.add_complete(P, Q, self.spec)
+
+    def mixed_add_unsafe(self, P, Qa):
+        return group.mixed_add_unsafe(P, Qa, self.spec)
+
+    def from_affine(self, Qa):
+        return group.from_affine(Qa, self.spec)
+
+    def select(self, mask, P, Q):
+        return tuple(limb.select(mask, a, b) for a, b in zip(P, Q))
+
+    def mask_to_infinity(self, keep_mask, P):
+        """Z=0 where ~keep."""
+        X, Y, Z = P
+        return (X, Y, jnp.where(keep_mask[None], Z, jnp.zeros_like(Z)))
+
+    def zeros_like(self, P):
+        return tuple(jnp.zeros_like(a) for a in P)
+
+
+@dataclasses.dataclass(frozen=True)
+class IntModOps:
+    """Mock additive group (Z_m, +); 'points' are 1-tuples of (1, *b) uint32."""
+
+    m: int = 1_000_003
+
+    def infinity(self, batch_shape=()):
+        return (jnp.zeros((1,) + tuple(batch_shape), jnp.uint32),)
+
+    def dbl(self, P):
+        return ((P[0] * 2) % self.m,)
+
+    def add_unsafe(self, P, Q):
+        return ((P[0] + Q[0]) % self.m,)
+
+    add_complete = add_unsafe
+    mixed_add_unsafe = add_unsafe
+
+    def from_affine(self, Qa):
+        return Qa
+
+    def select(self, mask, P, Q):
+        return tuple(jnp.where(mask[None], a, b) for a, b in zip(P, Q))
+
+    def mask_to_infinity(self, keep_mask, P):
+        return tuple(jnp.where(keep_mask[None], a, jnp.zeros_like(a)) for a in P)

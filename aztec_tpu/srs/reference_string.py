@@ -1,0 +1,102 @@
+"""Prover/verifier reference strings (ref: plonk/reference_string/).
+
+- ProverReferenceString: the G1 monomials [x^i]_1 as device-resident affine
+  Montgomery limb planes (the reference's pippenger point table; GLV table
+  doubling happens inside the MSM engine when enabled).
+- VerifierReferenceString: [x]_2 (and [1]_2) as host Fq2 ints for the O(1)
+  pairing check.
+- FakeReferenceStringFactory: synthesizes tau^i * G entirely on device
+  (fixed-base batch mul) from a known tau — the dev/test SRS.
+- FileReferenceStringFactory: Ignition transcript .dat files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ff import FR, limb
+from ..ff.bn254 import FR_MOD
+from ..numeric.bigint import ints_to_limbs
+from ..curves.spec import BN254_G1
+from ..curves import group
+from ..curves.fixed_base import fixed_base_mul
+from ..curves import tower
+from . import io as srs_io
+
+
+class ProverReferenceString:
+    def __init__(self, X, Y, size: int):
+        self.X = X  # (L, size) Montgomery Fq limb planes
+        self.Y = Y
+        self.size = size
+
+    def get_monomials(self, n: int):
+        assert n <= self.size, f"SRS too small: {n} > {self.size}"
+        return self.X[:, :n], self.Y[:, :n]
+
+
+class VerifierReferenceString:
+    def __init__(self, g2_x, g2_gen=tower.G2_GEN):
+        self.g2_x = g2_x   # [x]_2 affine Fq2 pair
+        self.g2_gen = g2_gen
+
+
+class FakeReferenceStringFactory:
+    """SRS from a known tau (dev/test only, like the reference's local
+    srs_db fixtures). tau is remembered so tests can check KZG identities
+    without a pairing."""
+
+    def __init__(self, tau: int | None = None):
+        self.tau = tau if tau is not None else 0xB0B0CAFE12345678DEADBEEF
+
+    def get_prover_srs(self, n: int) -> ProverReferenceString:
+        taus = [1]
+        for _ in range(n - 1):
+            taus.append(taus[-1] * self.tau % FR_MOD)
+        sc = jnp.asarray(ints_to_limbs(taus))
+        P = fixed_base_mul(sc, BN254_G1)
+        x, y, inf = group.to_affine(P, BN254_G1.field)
+        assert not bool(np.any(np.asarray(inf)))
+        return ProverReferenceString(x, y, n)
+
+    def get_verifier_srs(self) -> VerifierReferenceString:
+        return VerifierReferenceString(tower.g2_mul(self.tau, tower.G2_GEN))
+
+
+class MemReferenceString(ProverReferenceString):
+    pass
+
+
+class FileReferenceStringFactory:
+    """Loads transcript .dat files (Ignition format, srs/io.cpp)."""
+
+    def __init__(self, srs_dir: str):
+        self.srs_dir = srs_dir
+
+    def get_prover_srs(self, n: int) -> ProverReferenceString:
+        xs, ys = [], []
+        got = 0
+        i = 0
+        while got < n:
+            path = os.path.join(self.srs_dir, f"transcript{i:02d}.dat")
+            man, x, y, _ = srs_io.read_transcript(path)
+            xs.append(x)
+            ys.append(y)
+            got += x.shape[1]
+            i += 1
+        X = np.concatenate(xs, axis=1)[:, :n]
+        Y = np.concatenate(ys, axis=1)[:, :n]
+        return ProverReferenceString(
+            limb.to_mont(jnp.asarray(X), BN254_G1.field),
+            limb.to_mont(jnp.asarray(Y), BN254_G1.field),
+            n,
+        )
+
+    def get_verifier_srs(self) -> VerifierReferenceString:
+        path = os.path.join(self.srs_dir, "transcript00.dat")
+        man, _, _, g2b = srs_io.read_transcript(path)
+        pts = srs_io.read_g2_points(g2b)
+        return VerifierReferenceString(pts[1] if len(pts) > 1 else pts[0])
