@@ -1,0 +1,65 @@
+"""Data-parallel Pippenger MSM over a device mesh.
+
+Replaces the reference's OpenMP bucket-range partitioning
+(scalar_multiplication.cpp:738-835) with point-sharding over mesh devices:
+each device runs the full local Pippenger over its scalar/point shard (no
+cross-device traffic during rounds — bucket accumulation is local), then the
+per-device partial sums (one Jacobian point each) are combined with an
+all-gather + log-tree of complete additions.  Communication is O(devices),
+compute scales linearly — the profile the north-star ≥80% 2-host scaling
+requires.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curves.group_ops import JacobianOps
+from ..curves.spec import CurveSpec
+from ..msm.pippenger import msm_engine, MSMConfig, default_config
+
+
+def sharded_msm(mesh: Mesh, axis: str, points, scalars, curve: CurveSpec,
+                config: MSMConfig | None = None):
+    """MSM with points/scalars sharded along `axis` of `mesh`.
+
+    points: (X, Y) affine Montgomery planes (L, n); scalars (L, n) canonical.
+    n must be divisible by mesh.shape[axis] * block.  Returns a width-1
+    Jacobian tuple (replicated).
+    """
+    X, Y = points
+    n = X.shape[1]
+    ndev = mesh.shape[axis]
+    if config is None:
+        config = default_config(n // ndev)
+    ops = JacobianOps(curve)
+
+    def local_msm(Xs, Ys, ss):
+        part = msm_engine(
+            ops, (Xs, Ys), ss, n // ndev,
+            config.c, config.block, config.bucket_block,
+        )
+        # gather the per-device partials and tree-combine (replicated result)
+        gathered = tuple(
+            jax.lax.all_gather(a, axis_name=axis, axis=0) for a in part
+        )  # each (ndev, L, 1)
+        acc = tuple(g[0] for g in gathered)
+        for d in range(1, ndev):
+            acc = ops.add_complete(acc, tuple(g[d] for g in gathered))
+        return acc
+
+    fn = shard_map(
+        local_msm,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis)),
+        out_specs=(P(), P(), P()),
+        # the engine's loop carries start from unvarying literals; skip the
+        # varying-manual-axes replication check
+        check_rep=False,
+    )
+    return fn(X, Y, scalars)

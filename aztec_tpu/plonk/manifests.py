@@ -1,0 +1,236 @@
+"""Fiat-Shamir manifests + polynomial manifests for each PLONK flavour.
+
+Byte-for-byte mirrors of the reference's manifest literals
+(ref: plonk/composer/standard_composer.hpp:119-160 create_manifest,
+plonk/proof_system/types/polynomial_manifest.hpp:94-106
+standard_polynomial_manifest).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..transcript.manifest import Manifest, ManifestEntry as E, RoundManifest as RM
+
+G1_SIZE = 64
+FR_SIZE = 32
+
+
+def standard_manifest(num_public_inputs: int) -> Manifest:
+    pub = FR_SIZE * num_public_inputs
+    return Manifest(
+        rounds=(
+            RM(
+                elements=(
+                    E("circuit_size", 4, True),
+                    E("public_input_size", 4, True),
+                ),
+                challenge="init",
+                num_challenges=1,
+            ),
+            RM(elements=(), challenge="eta", num_challenges=0),
+            RM(
+                elements=(
+                    E("public_inputs", pub, False),
+                    E("W_1", G1_SIZE, False),
+                    E("W_2", G1_SIZE, False),
+                    E("W_3", G1_SIZE, False),
+                ),
+                challenge="beta",
+                num_challenges=2,
+            ),
+            RM(elements=(E("Z", G1_SIZE, False),), challenge="alpha", num_challenges=1),
+            RM(
+                elements=(
+                    E("T_1", G1_SIZE, False),
+                    E("T_2", G1_SIZE, False),
+                    E("T_3", G1_SIZE, False),
+                ),
+                challenge="z",
+                num_challenges=1,
+            ),
+            RM(
+                elements=(
+                    E("t", FR_SIZE, True, -1),
+                    E("w_1", FR_SIZE, False, 0),
+                    E("w_2", FR_SIZE, False, 1),
+                    E("w_3", FR_SIZE, False, 2),
+                    E("sigma_1", FR_SIZE, False, 3),
+                    E("sigma_2", FR_SIZE, False, 4),
+                    E("r", FR_SIZE, False, 5),
+                    E("z_omega", FR_SIZE, False, -1),
+                    E("w_3_omega", FR_SIZE, False, 2),
+                ),
+                challenge="nu",
+                num_challenges=7,
+                map_challenges=True,
+            ),
+            RM(
+                elements=(
+                    E("PI_Z", G1_SIZE, False),
+                    E("PI_Z_OMEGA", G1_SIZE, False),
+                ),
+                challenge="separator",
+                num_challenges=1,
+            ),
+        )
+    )
+
+
+def turbo_manifest(num_public_inputs: int) -> Manifest:
+    """ref: plonk/composer/turbo_composer.hpp:104-160."""
+    pub = FR_SIZE * num_public_inputs
+    return Manifest(
+        rounds=(
+            RM(
+                elements=(
+                    E("circuit_size", 4, True),
+                    E("public_input_size", 4, True),
+                ),
+                challenge="init",
+                num_challenges=1,
+            ),
+            RM(elements=(), challenge="eta", num_challenges=0),
+            RM(
+                elements=(
+                    E("public_inputs", pub, False),
+                    E("W_1", G1_SIZE, False),
+                    E("W_2", G1_SIZE, False),
+                    E("W_3", G1_SIZE, False),
+                    E("W_4", G1_SIZE, False),
+                ),
+                challenge="beta",
+                num_challenges=2,
+            ),
+            RM(elements=(E("Z", G1_SIZE, False),), challenge="alpha", num_challenges=1),
+            RM(
+                elements=(
+                    E("T_1", G1_SIZE, False),
+                    E("T_2", G1_SIZE, False),
+                    E("T_3", G1_SIZE, False),
+                    E("T_4", G1_SIZE, False),
+                ),
+                challenge="z",
+                num_challenges=1,
+            ),
+            RM(
+                elements=(
+                    E("t", FR_SIZE, True, -1),
+                    E("w_1", FR_SIZE, False, 0),
+                    E("w_2", FR_SIZE, False, 1),
+                    E("w_3", FR_SIZE, False, 2),
+                    E("w_4", FR_SIZE, False, 3),
+                    E("sigma_1", FR_SIZE, False, 4),
+                    E("sigma_2", FR_SIZE, False, 5),
+                    E("sigma_3", FR_SIZE, False, 6),
+                    E("q_arith", FR_SIZE, False, 7),
+                    E("q_ecc_1", FR_SIZE, False, 8),
+                    E("q_c", FR_SIZE, False, 9),
+                    E("r", FR_SIZE, False, 10),
+                    E("z_omega", FR_SIZE, False, -1),
+                    E("w_1_omega", FR_SIZE, False, 0),
+                    E("w_2_omega", FR_SIZE, False, 1),
+                    E("w_3_omega", FR_SIZE, False, 2),
+                    E("w_4_omega", FR_SIZE, False, 3),
+                ),
+                challenge="nu",
+                num_challenges=11,
+                map_challenges=True,
+            ),
+            RM(
+                elements=(
+                    E("PI_Z", G1_SIZE, False),
+                    E("PI_Z_OMEGA", G1_SIZE, False),
+                ),
+                challenge="separator",
+                num_challenges=1,
+            ),
+        )
+    )
+
+
+# ---- polynomial manifest ----------------------------------------------------
+
+WITNESS, SELECTOR, PERMUTATION = "witness", "selector", "permutation"
+
+
+@dataclasses.dataclass(frozen=True)
+class PolyDescriptor:
+    commitment_label: str
+    polynomial_label: str
+    is_linearised: bool
+    requires_shifted_evaluation: bool
+    source: str
+
+
+STANDARD_POLYNOMIAL_MANIFEST = (
+    PolyDescriptor("W_1", "w_1", False, False, WITNESS),
+    PolyDescriptor("W_2", "w_2", False, False, WITNESS),
+    PolyDescriptor("W_3", "w_3", False, True, WITNESS),
+    PolyDescriptor("Z", "z", True, True, WITNESS),
+    PolyDescriptor("Q_1", "q_1", True, False, SELECTOR),
+    PolyDescriptor("Q_2", "q_2", True, False, SELECTOR),
+    PolyDescriptor("Q_3", "q_3", True, False, SELECTOR),
+    PolyDescriptor("Q_M", "q_m", True, False, SELECTOR),
+    PolyDescriptor("Q_C", "q_c", True, False, SELECTOR),
+    PolyDescriptor("SIGMA_1", "sigma_1", False, False, PERMUTATION),
+    PolyDescriptor("SIGMA_2", "sigma_2", False, False, PERMUTATION),
+    PolyDescriptor("SIGMA_3", "sigma_3", True, False, PERMUTATION),
+)
+
+
+# ref: polynomial_manifest.hpp:126-148 turbo_polynomial_manifest
+TURBO_POLYNOMIAL_MANIFEST = (
+    PolyDescriptor("W_1", "w_1", False, True, WITNESS),
+    PolyDescriptor("W_2", "w_2", False, True, WITNESS),
+    PolyDescriptor("W_3", "w_3", False, True, WITNESS),
+    PolyDescriptor("W_4", "w_4", False, True, WITNESS),
+    PolyDescriptor("Z", "z", True, True, WITNESS),
+    PolyDescriptor("Q_1", "q_1", True, False, SELECTOR),
+    PolyDescriptor("Q_2", "q_2", True, False, SELECTOR),
+    PolyDescriptor("Q_3", "q_3", True, False, SELECTOR),
+    PolyDescriptor("Q_4", "q_4", True, False, SELECTOR),
+    PolyDescriptor("Q_5", "q_5", True, False, SELECTOR),
+    PolyDescriptor("Q_M", "q_m", True, False, SELECTOR),
+    PolyDescriptor("Q_C", "q_c", False, False, SELECTOR),
+    PolyDescriptor("Q_ARITHMETIC_SELECTOR", "q_arith", False, False, SELECTOR),
+    PolyDescriptor("Q_RANGE_SELECTOR", "q_range", True, False, SELECTOR),
+    PolyDescriptor("Q_FIXED_BASE_SELECTOR", "q_ecc_1", False, False, SELECTOR),
+    PolyDescriptor("Q_LOGIC_SELECTOR", "q_logic", True, False, SELECTOR),
+    PolyDescriptor("SIGMA_1", "sigma_1", False, False, PERMUTATION),
+    PolyDescriptor("SIGMA_2", "sigma_2", False, False, PERMUTATION),
+    PolyDescriptor("SIGMA_3", "sigma_3", False, False, PERMUTATION),
+    PolyDescriptor("SIGMA_4", "sigma_4", True, False, PERMUTATION),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class StandardSettings:
+    """ref: plonk/proof_system/types/prover_settings.hpp:14-27."""
+
+    name: str = "standard"
+    program_width: int = 3
+    num_challenge_bytes: int = 32
+    hash_type: str = "keccak256"
+    use_linearisation: bool = True
+    num_roots_cut_out_of_vanishing_polynomial: int = 4
+    polynomial_manifest: tuple = STANDARD_POLYNOMIAL_MANIFEST
+
+    def create_manifest(self, num_public_inputs: int) -> Manifest:
+        return standard_manifest(num_public_inputs)
+
+
+@dataclasses.dataclass(frozen=True)
+class TurboSettings(StandardSettings):
+    """ref: prover_settings.hpp:42-55."""
+
+    name: str = "turbo"
+    program_width: int = 4
+    polynomial_manifest: tuple = TURBO_POLYNOMIAL_MANIFEST
+
+    def create_manifest(self, num_public_inputs: int) -> Manifest:
+        return turbo_manifest(num_public_inputs)
+
+
+STANDARD = StandardSettings()
+TURBO = TurboSettings()

@@ -53,6 +53,23 @@ class FakeReferenceStringFactory:
         self.tau = tau if tau is not None else 0xB0B0CAFE12345678DEADBEEF
 
     def get_prover_srs(self, n: int) -> ProverReferenceString:
+        if n <= 512:
+            # host path: avoids compiling the device fixed-base kernel for
+            # tiny test SRSs (XLA:CPU compile of the window tables is slow)
+            from ..curves.pairing import g1_mul
+
+            taus = [1]
+            for _ in range(n - 1):
+                taus.append(taus[-1] * self.tau % FR_MOD)
+            pts = [g1_mul(t, (1, 2)) for t in taus]
+            xs = ints_to_limbs([p[0] for p in pts])
+            ys = ints_to_limbs([p[1] for p in pts])
+            fq = BN254_G1.field
+            return ProverReferenceString(
+                limb.to_mont(jnp.asarray(xs), fq),
+                limb.to_mont(jnp.asarray(ys), fq),
+                n,
+            )
         taus = [1]
         for _ in range(n - 1):
             taus.append(taus[-1] * self.tau % FR_MOD)

@@ -16,6 +16,7 @@ class ManifestEntry:
     name: str
     num_bytes: int
     derived_by_verifier: bool = False
+    challenge_map_index: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -23,6 +24,7 @@ class RoundManifest:
     elements: tuple
     challenge: str
     num_challenges: int
+    map_challenges: bool = False
 
     def includes_element(self, name: str) -> bool:
         return any(e.name == name for e in self.elements)
@@ -37,3 +39,13 @@ class Manifest:
 
     def get_round_manifest(self, i: int) -> RoundManifest:
         return self.rounds[i]
+
+    def challenge_map(self) -> dict:
+        """element name -> challenge index, for rounds with map_challenges
+        (ref: transcript.cpp:72-80 compute_challenge_map)."""
+        out = {}
+        for rm in self.rounds:
+            if rm.map_challenges:
+                for el in rm.elements:
+                    out[el.name] = el.challenge_map_index
+        return out

@@ -111,6 +111,20 @@ class Transcript:
     def get_challenge_fr(self, name: str, idx: int = 0) -> int:
         return int.from_bytes(self.challenges[name][idx], "big") % FR_MOD
 
+    def get_challenge_fr_from_map(self, challenge_name: str, map_name: str) -> int:
+        """ref: transcript.cpp:212-228 get_challenge_from_map.
+
+        Map index -1 returns the constant 1 (used for the 't' and 'z_omega'
+        pseudo-challenges in the nu round).
+        """
+        key = self.manifest.challenge_map()[map_name]
+        if key == -1:
+            return 1
+        return int.from_bytes(self.challenges[challenge_name][key], "big") % FR_MOD
+
+    def get_element_fr(self, name: str) -> int:
+        return int.from_bytes(self.elements[name], "big") % FR_MOD
+
     def has_challenge(self, name: str) -> bool:
         return name in self.challenges
 
