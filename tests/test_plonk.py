@@ -12,7 +12,9 @@ from aztec_tpu.ff.bn254 import FR_MOD
 from aztec_tpu.plonk.composer import StandardComposer, AddTriple, MulTriple
 
 
-def _build_test_circuit(num_extra_gates: int = 16, with_public: bool = True):
+def _build_test_circuit(num_extra_gates: int = 6, with_public: bool = True):
+    # NOTE: sized so the subgroup is 16 — matching the e2e smoke circuit —
+    # to share the XLA compile cache across the suite (PERF.md).
     c = StandardComposer()
     c.create_dummy_gates()
     if with_public:
@@ -95,6 +97,6 @@ def test_proof_is_nondeterministic_but_both_verify(circuit):
 
 
 def test_no_public_inputs():
-    c = _build_test_circuit(num_extra_gates=4, with_public=False)
+    c = _build_test_circuit(num_extra_gates=6, with_public=False)
     proof = c.create_prover().construct_proof()
     assert c.create_verifier().verify_proof(proof)

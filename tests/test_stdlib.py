@@ -47,15 +47,14 @@ def test_bool_algebra():
 
 @pytest.mark.slow
 def test_stdlib_circuit_proves_and_verifies():
+    # sized for subgroup 16 (shared compile cache, see PERF.md)
     c = StandardComposer()
     c.create_dummy_gates()
     x = public_witness(c, 5)
     y = witness(c, 9)
     z = x * y + x - 3  # 47
     z.assert_equal(constant(47))
-    b1 = BoolT.from_witness(c, True)
-    b2 = BoolT.from_witness(c, False)
-    (b1 ^ b2).to_field().assert_equal(constant(1))
     assert not c.failed, c.err
+    assert c.subgroup_size() == 16
     proof = c.create_prover().construct_proof()
     assert c.create_verifier().verify_proof(proof)
