@@ -25,3 +25,16 @@ are batched vector kernels; sequential recurrences of the reference become
 """
 
 __version__ = "0.1.0"
+
+
+def standard_composer(*args, **kwargs):
+    """Convenience constructor (lazy import keeps `import aztec_tpu` light)."""
+    from .plonk.composer import StandardComposer
+
+    return StandardComposer(*args, **kwargs)
+
+
+def turbo_composer(*args, **kwargs):
+    from .plonk.composer import TurboComposer
+
+    return TurboComposer(*args, **kwargs)

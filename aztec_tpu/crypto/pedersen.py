@@ -153,6 +153,30 @@ def _ladder(generator_index: int) -> List[Tuple]:
 
 
 @functools.lru_cache(maxsize=None)
+def ladder_selectors(generator_index: int, hash_variant: bool = False):
+    """Turbo fixed-base ECC gate selector coefficients per ladder entry
+    (ref: pedersen.cpp:135-170): for entry (one=(xb,yb), three=(xg,yg)):
+
+        q_x_1 = (xg - xb)/8,  q_x_2 = (9 xb - xg)/8,
+        q_y_1 = (3 yb - yg)/d, q_y_2 = (xb yg - 3 xg yb)/d,  d = 3(xb - xg)
+    """
+    lad = _hash_ladder(generator_index) if hash_variant else _ladder(generator_index)
+    inv8 = pow(8, -1, P)
+    out = []
+    for (one, three) in lad:
+        xb, yb = one
+        xg, yg = three
+        q_x_1 = (xg - xb) * inv8 % P
+        q_x_2 = (9 * xb - xg) * inv8 % P
+        d = 3 * (xb - xg) % P
+        dinv = pow(d, -1, P)
+        q_y_1 = (3 * yb - yg) * dinv % P
+        q_y_2 = (xb * yg - 3 * xg * yb) * dinv % P
+        out.append((q_x_1, q_x_2, q_y_1, q_y_2))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
 def _hash_ladder(hash_index: int) -> List[Tuple]:
     """Stitched ladder: 127 high quads on generator 2i, 2 low quads on
     generator 2i+1 (ref: pedersen.cpp:91-104)."""

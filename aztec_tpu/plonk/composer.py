@@ -344,6 +344,11 @@ class StandardComposer(ComposerBase):
 
         return StandardFlavor
 
+    def _unrolled_flavor(self):
+        from .flavors import UnrolledStandardFlavor
+
+        return UnrolledStandardFlavor
+
     def create_prover(self):
         from .prover import Prover
 
@@ -355,6 +360,20 @@ class StandardComposer(ComposerBase):
         from .verifier import Verifier
 
         return Verifier(self.compute_verification_key(), self._flavor())
+
+    def create_unrolled_prover(self):
+        """Prover for in-circuit recursive verification
+        (ref: standard_composer.cpp create_unrolled_prover)."""
+        from .prover import Prover
+
+        pk = self.compute_proving_key()
+        wires, pubvals = self.compute_witness()
+        return Prover(pk, wires, pubvals, self._unrolled_flavor())
+
+    def create_unrolled_verifier(self):
+        from .verifier import Verifier
+
+        return Verifier(self.compute_verification_key(), self._unrolled_flavor())
 
 
 class TurboComposer(ComposerBase):
@@ -386,6 +405,14 @@ class TurboComposer(ComposerBase):
         from .flavors import TurboFlavor
 
         return TurboFlavor
+
+    def _unrolled_flavor(self):
+        from .flavors import UnrolledTurboFlavor
+
+        return UnrolledTurboFlavor
+
+    create_unrolled_prover = StandardComposer.create_unrolled_prover
+    create_unrolled_verifier = StandardComposer.create_unrolled_verifier
 
     # -- gate recording --------------------------------------------------------
     def _push(self, a, b, c, d, **sel):

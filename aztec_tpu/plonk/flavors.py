@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ff.bn254 import FR_MOD, FR_COSET_GENERATORS
-from .manifests import STANDARD, TURBO
+from .manifests import STANDARD, TURBO, UNROLLED_STANDARD, UNROLLED_TURBO
 from . import kernels
 from .proving_key import fr_mont
 
@@ -44,9 +44,12 @@ def _perm_linear_terms(ev, ch, l_start, width):
     return z_mult, sigma_mult
 
 
-def _perm_t_contribution(ev, ch, l_start, l_end, delta, width):
+def _perm_t_contribution(ev, ch, l_start, l_end, delta, width,
+                         use_linearisation=True):
     """Permutation part of the verifier's quotient evaluation
-    (ref: permutation_widget_impl.hpp:601-783, use_linearisation path)."""
+    (ref: permutation_widget_impl.hpp:601-783).  Under linearisation the
+    r_eval carries the z/sigma polynomial terms; unrolled verifiers add
+    them explicitly (parts 4 + 5.2 of the reference)."""
     alpha, beta, gamma = ch["alpha"], ch["beta"], ch["gamma"]
     sigma_contribution = 1
     for i in range(width - 1):
@@ -60,12 +63,17 @@ def _perm_t_contribution(ev, ch, l_start, l_end, delta, width):
     ) % M
     a2 = alpha * alpha % M
     a3 = a2 * alpha % M
-    return (
+    t = (
         (ev["z_omega"] - delta) * l_end % M * a2
         - l_start * a3
         - sigma_contribution
-        + ev["r"]
     ) % M
+    if use_linearisation:
+        return (t + ev["r"]) % M
+    z_mult, sigma_mult = _perm_linear_terms(ev, ch, l_start, width)
+    t = (t + sigma_mult * ev[f"sigma_{width}"]) % M
+    t = (t + z_mult * ev["z"]) % M
+    return t
 
 
 class StandardFlavor:
@@ -215,12 +223,17 @@ class TurboFlavor:
     def perm_linear_terms(ev, ch, l_start):
         return _perm_linear_terms(ev, ch, l_start, 4)
 
-    @staticmethod
-    def verifier_t_contribution(ev, ch, l_start, l_end, delta):
-        """Permutation + turbo-arithmetic/fixed-base non-linear terms
-        (ref: turbo_arithmetic_widget.hpp:66-123,
-        turbo_fixed_base_widget.hpp:85-158)."""
+    @classmethod
+    def verifier_t_contribution(cls, ev, ch, l_start, l_end, delta):
         t = _perm_t_contribution(ev, ch, l_start, l_end, delta, 4)
+        return (t + cls._nonlinear_t_terms(ev, ch)) % M
+
+    @staticmethod
+    def _nonlinear_t_terms(ev, ch):
+        """Turbo-arithmetic quad extraction + fixed-base gate identity from
+        evaluations (ref: turbo_arithmetic_widget.hpp:66-123,
+        turbo_fixed_base_widget.hpp:85-158)."""
+        t = 0
         al = ch["alpha"]
         ap = [pow(al, k, M) for k in range(14)]
         a, b, c, d = ev["w_1"], ev["w_2"], ev["w_3"], ev["w_4"]
@@ -259,4 +272,42 @@ class TurboFlavor:
         return t
 
 
-FLAVORS = {"standard": StandardFlavor, "turbo": TurboFlavor}
+class UnrolledStandardFlavor(StandardFlavor):
+    """Unrolled standard PLONK (no linearisation; ref: prover_settings.hpp:
+    28-40 + unrolled_standard_verifier_settings)."""
+
+    settings = UNROLLED_STANDARD
+
+    @classmethod
+    def verifier_t_contribution(cls, ev, ch, l_start, l_end, delta):
+        t = _perm_t_contribution(ev, ch, l_start, l_end, delta, 3,
+                                 use_linearisation=False)
+        # arithmetic widget linear sum from evaluations
+        for sel, scalar in cls.selector_linear_scalars(ev, ch).items():
+            t = (t + scalar * ev[sel]) % M
+        return t
+
+
+class UnrolledTurboFlavor(TurboFlavor):
+    """Unrolled TurboPlonk (ref: prover_settings.hpp:57-68 +
+    unrolled_turbo_verifier_settings)."""
+
+    settings = UNROLLED_TURBO
+
+    @classmethod
+    def verifier_t_contribution(cls, ev, ch, l_start, l_end, delta):
+        # permutation (unrolled) + all widget non-linear terms
+        t = _perm_t_contribution(ev, ch, l_start, l_end, delta, 4,
+                                 use_linearisation=False)
+        t = (t + TurboFlavor._nonlinear_t_terms(ev, ch)) % M
+        for sel, scalar in cls.selector_linear_scalars(ev, ch).items():
+            t = (t + scalar * ev[sel]) % M
+        return t
+
+
+FLAVORS = {
+    "standard": StandardFlavor,
+    "turbo": TurboFlavor,
+    "unrolled_standard": UnrolledStandardFlavor,
+    "unrolled_turbo": UnrolledTurboFlavor,
+}

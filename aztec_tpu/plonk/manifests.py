@@ -149,6 +149,83 @@ def turbo_manifest(num_public_inputs: int) -> Manifest:
     )
 
 
+def standard_unrolled_manifest(num_public_inputs: int) -> Manifest:
+    """ref: standard_composer.hpp:160-206 create_unrolled_manifest."""
+    base = standard_manifest(num_public_inputs)
+    nu = RM(
+        elements=(
+            E("t", FR_SIZE, True, -1),
+            E("w_1", FR_SIZE, False, 0),
+            E("w_2", FR_SIZE, False, 1),
+            E("w_3", FR_SIZE, False, 2),
+            E("sigma_1", FR_SIZE, False, 3),
+            E("sigma_2", FR_SIZE, False, 4),
+            E("sigma_3", FR_SIZE, False, 5),
+            E("q_1", FR_SIZE, False, 6),
+            E("q_2", FR_SIZE, False, 7),
+            E("q_3", FR_SIZE, False, 8),
+            E("q_m", FR_SIZE, False, 9),
+            E("q_c", FR_SIZE, False, 10),
+            E("z", FR_SIZE, False, 11),
+            E("z_omega", FR_SIZE, False, -1),
+            E("w_3_omega", FR_SIZE, False, 0),
+        ),
+        challenge="nu",
+        num_challenges=12,
+        map_challenges=True,
+    )
+    rounds = list(base.rounds)
+    rounds[5] = nu
+    return Manifest(rounds=tuple(rounds))
+
+
+def turbo_unrolled_manifest(num_public_inputs: int) -> Manifest:
+    """ref: turbo_composer.hpp:162-215 create_unrolled_manifest."""
+    base = turbo_manifest(num_public_inputs)
+    nu = RM(
+        elements=(
+            E("t", FR_SIZE, True, -1),
+            E("w_1", FR_SIZE, False, 0),
+            E("w_2", FR_SIZE, False, 1),
+            E("w_3", FR_SIZE, False, 2),
+            E("w_4", FR_SIZE, False, 3),
+            E("sigma_1", FR_SIZE, False, 4),
+            E("sigma_2", FR_SIZE, False, 5),
+            E("sigma_3", FR_SIZE, False, 6),
+            E("sigma_4", FR_SIZE, False, 7),
+            E("q_1", FR_SIZE, False, 8),
+            E("q_2", FR_SIZE, False, 9),
+            E("q_3", FR_SIZE, False, 10),
+            E("q_4", FR_SIZE, False, 11),
+            E("q_5", FR_SIZE, False, 12),
+            E("q_m", FR_SIZE, False, 13),
+            E("q_c", FR_SIZE, False, 14),
+            E("q_arith", FR_SIZE, False, 15),
+            E("q_logic", FR_SIZE, False, 16),
+            E("q_range", FR_SIZE, False, 17),
+            E("q_ecc_1", FR_SIZE, False, 18),
+            E("z", FR_SIZE, False, 19),
+            E("z_omega", FR_SIZE, False, 19),
+            E("w_1_omega", FR_SIZE, False, 0),
+            E("w_2_omega", FR_SIZE, False, 1),
+            E("w_3_omega", FR_SIZE, False, 2),
+            E("w_4_omega", FR_SIZE, False, 3),
+        ),
+        challenge="nu",
+        num_challenges=20,
+        map_challenges=True,
+    )
+    sep = RM(
+        elements=(E("PI_Z", G1_SIZE, False), E("PI_Z_OMEGA", G1_SIZE, False)),
+        challenge="separator",
+        num_challenges=3,
+    )
+    rounds = list(base.rounds)
+    rounds[5] = nu
+    rounds[6] = sep
+    return Manifest(rounds=tuple(rounds))
+
+
 # ---- polynomial manifest ----------------------------------------------------
 
 WITNESS, SELECTOR, PERMUTATION = "witness", "selector", "permutation"
@@ -232,5 +309,35 @@ class TurboSettings(StandardSettings):
         return turbo_manifest(num_public_inputs)
 
 
+@dataclasses.dataclass(frozen=True)
+class UnrolledStandardSettings(StandardSettings):
+    """ref: prover_settings.hpp:28-40 — built for in-circuit recursive
+    verification: Pedersen+Blake2s transcript, 16-byte challenges, no
+    linearisation."""
+
+    name: str = "unrolled_standard"
+    num_challenge_bytes: int = 16
+    hash_type: str = "pedersen_blake2s"
+    use_linearisation: bool = False
+
+    def create_manifest(self, num_public_inputs: int) -> Manifest:
+        return standard_unrolled_manifest(num_public_inputs)
+
+
+@dataclasses.dataclass(frozen=True)
+class UnrolledTurboSettings(TurboSettings):
+    """ref: prover_settings.hpp:57-68."""
+
+    name: str = "unrolled_turbo"
+    num_challenge_bytes: int = 16
+    hash_type: str = "pedersen_blake2s"
+    use_linearisation: bool = False
+
+    def create_manifest(self, num_public_inputs: int) -> Manifest:
+        return turbo_unrolled_manifest(num_public_inputs)
+
+
 STANDARD = StandardSettings()
 TURBO = TurboSettings()
+UNROLLED_STANDARD = UnrolledStandardSettings()
+UNROLLED_TURBO = UnrolledTurboSettings()

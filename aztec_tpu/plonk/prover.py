@@ -219,28 +219,30 @@ class Prover:
         zp_4n = powers_table(fr_mont(zeta), 4 * n, FR)
         t_eval = self._eval_many(self.quotient_mono[:, None, :], zp_4n)[0]
 
-        # linearisation polynomial r(X)
-        ev = {name: t.get_element_fr(name) for name in
-              [e for e in at_zeta]}
-        for name in at_zeta_omega:
-            ev[name + "_omega"] = t.get_element_fr(name + "_omega")
-        ch = {
-            "alpha": self._challenge("alpha"),
-            "beta": self._challenge("beta", 0),
-            "gamma": self._challenge("beta", 1),
-            "zeta": zeta,
-        }
-        _, l_start, _ = get_lagrange_evaluations(zeta, n, root)
-        z_mult, sigma_mult = self.flavor.perm_linear_terms(ev, ch, l_start)
-        sel_scalars = self.flavor.selector_linear_scalars(ev, ch)
+        # linearisation polynomial r(X) (linearised settings only)
+        if s.use_linearisation:
+            ev = {name: t.get_element_fr(name) for name in at_zeta}
+            for name in at_zeta_omega:
+                ev[name + "_omega"] = t.get_element_fr(name + "_omega")
+            ch = {
+                "alpha": self._challenge("alpha"),
+                "beta": self._challenge("beta", 0),
+                "gamma": self._challenge("beta", 1),
+                "zeta": zeta,
+            }
+            _, l_start, _ = get_lagrange_evaluations(zeta, n, root)
+            z_mult, sigma_mult = self.flavor.perm_linear_terms(ev, ch, l_start)
+            sel_scalars = self.flavor.selector_linear_scalars(ev, ch)
 
-        names = ["z", f"sigma_{self.width}"] + list(sel_scalars)
-        scalars = [z_mult, sigma_mult] + [sel_scalars[k] for k in sel_scalars]
-        lin_stack = jnp.stack([self._poly(p) for p in names], axis=1)
-        lin_scalars = jnp.stack([fr_mont(v) for v in scalars], axis=1)
-        self.linear_mono = kernels.linear_combination(lin_stack, lin_scalars)
-        r_eval = self._eval_many(self.linear_mono[:, None, :], zp_n)[0]
-        t.add_element("r", fr_to_bytes(r_eval))
+            names = ["z", f"sigma_{self.width}"] + list(sel_scalars)
+            scalars = [z_mult, sigma_mult] + [
+                sel_scalars[k] for k in sel_scalars
+            ]
+            lin_stack = jnp.stack([self._poly(p) for p in names], axis=1)
+            lin_scalars = jnp.stack([fr_mont(v) for v in scalars], axis=1)
+            self.linear_mono = kernels.linear_combination(lin_stack, lin_scalars)
+            r_eval = self._eval_many(self.linear_mono[:, None, :], zp_n)[0]
+            t.add_element("r", fr_to_bytes(r_eval))
         t.add_element("t", fr_to_bytes(t_eval))
         self._zeta = zeta
 

@@ -64,7 +64,8 @@ class Verifier:
                 ev[info.polynomial_label + "_omega"] = t.get_element_fr(
                     info.polynomial_label + "_omega"
                 )
-        ev["r"] = t.get_element_fr("r")
+        if s.use_linearisation:
+            ev["r"] = t.get_element_fr("r")
 
         pub_bytes = t.get_element("public_inputs")
         public_inputs = [
@@ -134,26 +135,30 @@ class Verifier:
         g1_elements["BATCH_EVALUATION"] = (1, 2)  # the generator
         fr_scalars["BATCH_EVALUATION"] = (-batch_eval) % M
 
-        # -- [D]_1 scalars: permutation + transition widgets ----------------------
-        linear_nu = nu("r")
-        z_mult, sigma_mult = self.flavor.perm_linear_terms(ev, ch, l_start)
-        fr_scalars["Z"] = (fr_scalars.get("Z", 0) + z_mult * linear_nu) % M
-        fr_scalars[f"SIGMA_{width}"] = (
-            fr_scalars.get(f"SIGMA_{width}", 0) + sigma_mult * linear_nu
-        ) % M
-        label_map = {
-            "q_m": "Q_M", "q_1": "Q_1", "q_2": "Q_2", "q_3": "Q_3",
-            "q_4": "Q_4", "q_5": "Q_5", "q_c": "Q_C",
-            "q_arith": "Q_ARITHMETIC_SELECTOR",
-            "q_range": "Q_RANGE_SELECTOR",
-            "q_ecc_1": "Q_FIXED_BASE_SELECTOR",
-            "q_logic": "Q_LOGIC_SELECTOR",
-        }
-        for plabel, scalar in self.flavor.selector_linear_scalars(ev, ch).items():
-            label = label_map[plabel]
-            fr_scalars[label] = (
-                fr_scalars.get(label, 0) + scalar * linear_nu
+        # -- [D]_1 scalars: permutation + transition widgets (linearised only,
+        #    ref: transition_widget.hpp:372-380) -------------------------------
+        if s.use_linearisation:
+            linear_nu = nu("r")
+            z_mult, sigma_mult = self.flavor.perm_linear_terms(ev, ch, l_start)
+            fr_scalars["Z"] = (fr_scalars.get("Z", 0) + z_mult * linear_nu) % M
+            fr_scalars[f"SIGMA_{width}"] = (
+                fr_scalars.get(f"SIGMA_{width}", 0) + sigma_mult * linear_nu
             ) % M
+            label_map = {
+                "q_m": "Q_M", "q_1": "Q_1", "q_2": "Q_2", "q_3": "Q_3",
+                "q_4": "Q_4", "q_5": "Q_5", "q_c": "Q_C",
+                "q_arith": "Q_ARITHMETIC_SELECTOR",
+                "q_range": "Q_RANGE_SELECTOR",
+                "q_ecc_1": "Q_FIXED_BASE_SELECTOR",
+                "q_logic": "Q_LOGIC_SELECTOR",
+            }
+            for plabel, scalar in self.flavor.selector_linear_scalars(
+                ev, ch
+            ).items():
+                label = label_map[plabel]
+                fr_scalars[label] = (
+                    fr_scalars.get(label, 0) + scalar * linear_nu
+                ) % M
 
         # -- opening commitments --------------------------------------------------
         PI_Z = g1_from_bytes(t.get_element("PI_Z"))

@@ -26,14 +26,27 @@ from .manifest import Manifest
 
 PRNG_OUTPUT_SIZE = 32
 
-HASHERS: Dict[str, Callable[[bytes], bytes]] = {
-    "keccak256": lambda b: keccak256(b),
-    "blake2s": lambda b: blake2s(b),
+
+def _pedersen_blake2s(b: bytes) -> bytes:
+    """ref: transcript.cpp:128-133 — pedersen-compress the buffer to one
+    field element, then blake2s it.  Challenge *expansion* (counter hashes)
+    uses plain blake2s (transcript.cpp:170-173)."""
+    from ..crypto.pedersen import compress_buffer_to_field
+
+    return blake2s(compress_buffer_to_field(b).to_bytes(32, "big"))
+
+
+# name -> (base_hash, expansion_hash)
+HASHERS: Dict[str, tuple] = {
+    "keccak256": (lambda b: keccak256(b), lambda b: keccak256(b)),
+    "blake2s": (lambda b: blake2s(b), lambda b: blake2s(b)),
+    "pedersen_blake2s": (_pedersen_blake2s, lambda b: blake2s(b)),
 }
 
 
-def register_hasher(name: str, fn: Callable[[bytes], bytes]):
-    HASHERS[name] = fn
+def register_hasher(name: str, base: Callable[[bytes], bytes],
+                    expand: Callable[[bytes], bytes] = None):
+    HASHERS[name] = (base, expand or base)
 
 
 class Transcript:
@@ -59,7 +72,10 @@ class Transcript:
 
     # -- Fiat-Shamir -------------------------------------------------------
     def _hash(self, data: bytes) -> bytes:
-        return HASHERS[self.hasher_name](data)
+        return HASHERS[self.hasher_name][0](data)
+
+    def _hash_expand(self, data: bytes) -> bytes:
+        return HASHERS[self.hasher_name][1](data)
 
     def apply_fiat_shamir(self, challenge_name: str):
         rm = self.manifest.get_round_manifest(self.current_round)
@@ -95,7 +111,7 @@ class Transcript:
 
         num_hashes = (num_challenges + per_hash - 1) // per_hash
         for i in range(1, num_hashes):
-            h = self._hash(base_hash + bytes([i]))
+            h = self._hash_expand(base_hash + bytes([i]))
             for j in range(per_hash):
                 if per_hash * i + j < num_challenges:
                     emit(h, j)

@@ -1,0 +1,39 @@
+"""Persistent XLA compile cache, keyed by host CPU features.
+
+XLA:CPU's persistent cache stores AOT machine code; loading an entry
+compiled under different CPU feature detection can SIGSEGV (observed when
+reusing a cache written on another host: "Target machine feature
++prefer-no-scatter is not supported on the host machine").  Keying the
+cache directory by a hash of the host's CPU flags makes stale foreign
+entries invisible instead of fatal.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def _machine_tag() -> str:
+    h = hashlib.sha256()
+    h.update(platform.machine().encode())
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    h.update(line.encode())
+                    break
+    except OSError:
+        pass
+    return h.hexdigest()[:12]
+
+
+def setup_compile_cache(base: str = "/root/repo/.jax_cache"):
+    import jax
+
+    path = os.path.join(base, _machine_tag())
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path

@@ -27,6 +27,10 @@ def main():
     import numpy as np
     import jax
 
+    from aztec_tpu.utils import setup_compile_cache
+
+    setup_compile_cache()
+
     from aztec_tpu.curves.spec import BN254_G1
     from aztec_tpu.curves.fixed_base import fixed_base_mul
     from aztec_tpu.curves import group

@@ -14,15 +14,19 @@ import os
 # (dropping /root/.axon_site from PYTHONPATH skips the ~2min axon PJRT
 # registration that sitecustomize performs in every interpreter).
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# NOTE: the virtual 8-device mesh flag is NOT set here — it slows every
+# XLA:CPU compile and bifurcates the compile cache.  Multi-chip tests
+# (tests/test_parallel.py) skip without it; run them separately with
+#   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+#     python -m pytest tests/test_parallel.py -q
 
 # Persistent compilation cache: the limb-arithmetic graphs are cheap to run
 # but slow for XLA:CPU to compile; cache them across test invocations.
-import jax  # noqa: E402
+# Keyed by host CPU features — a cache written on a different machine can
+# SIGSEGV on load (see aztec_tpu/utils/jaxcache.py).
+import sys  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from aztec_tpu.utils import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()

@@ -1,0 +1,41 @@
+"""Unrolled (recursion-facing) PLONK settings: PedersenBlake2s transcript,
+16-byte challenges, no linearisation (ref: prover_settings.hpp:28-40,
+unrolled_*_verifier_settings)."""
+
+import os
+
+import pytest
+
+from tests.test_plonk import _build_test_circuit
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("AZTEC_HEAVY") != "1",
+    reason="extra compile shapes; set AZTEC_HEAVY=1",
+)
+
+
+def test_unrolled_standard_roundtrip():
+    c = _build_test_circuit()
+    proof = c.create_unrolled_prover().construct_proof()
+    v = c.create_unrolled_verifier()
+    assert v.verify_proof(proof)
+    # the linearised verifier must NOT accept an unrolled proof
+    try:
+        ok = c.create_verifier().verify_proof(proof)
+    except Exception:
+        ok = False
+    assert not ok
+
+
+def test_unrolled_tamper_rejected():
+    c = _build_test_circuit()
+    proof = c.create_unrolled_prover().construct_proof()
+    v = c.create_unrolled_verifier()
+    bad = bytearray(proof)
+    bad[len(bad) // 2] ^= 1
+    ok = False
+    try:
+        ok = v.verify_proof(bytes(bad))
+    except Exception:
+        ok = False
+    assert not ok
