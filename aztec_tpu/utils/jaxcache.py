@@ -29,11 +29,33 @@ def _machine_tag() -> str:
     return h.hexdigest()[:12]
 
 
-def setup_compile_cache(base: str = "/root/repo/.jax_cache"):
+def setup_compile_cache(base: str = "/root/repo/.jax_cache",
+                        max_compile_secs: float = 480.0):
+    """Enable the persistent cache, machine-keyed, with a size guard.
+
+    XLA:CPU's executable.serialize() SIGSEGVs on very large modules (the
+    2^16-point MSM, observed on this jaxlib), so entries whose compile took
+    longer than ``max_compile_secs`` are not persisted on the CPU backend.
+    """
     import jax
 
     path = os.path.join(base, _machine_tag())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from jax._src import compilation_cache as cc
+
+    if not getattr(cc, "_aztec_guarded", False):
+        orig_put = cc.put_executable_and_time
+
+        def guarded_put(cache_key, module_name, executable, backend,
+                        compile_time):
+            if backend.platform == "cpu" and compile_time > max_compile_secs:
+                return  # compile_time is in seconds (compiler.py:830)
+            return orig_put(cache_key, module_name, executable, backend,
+                            compile_time)
+
+        cc.put_executable_and_time = guarded_put
+        cc._aztec_guarded = True
     return path

@@ -94,6 +94,13 @@ def test_msm_ec_small():
     assert got == expect
 
 
+import os
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("AZTEC_HEAVY") != "1",
+                    reason="c=16 compiles a 2^16-bucket module (~30 min on "
+                           "this 1-core CPU); set AZTEC_HEAVY=1")
 def test_msm_ec_c16():
     g = golden.BN254
     n = 128
