@@ -1,0 +1,232 @@
+"""bigfield: non-native Fq arithmetic inside Fr circuits
+(ref: stdlib/primitives/bigfield/bigfield_impl.hpp, 68-bit limbs per
+plonk/proof_system/constants.hpp:8).
+
+An element is 4 binary-basis limbs (FieldT, 68/68/68/50 bits) plus the
+prime-basis limb (the native-field recombination).  Multiplication
+witnesses quotient q and remainder r with a*b + Σadds = q*p + r and proves
+it by CRT:
+
+  mod 2^272: limb-product columns with -p folded in (neg_modulus limbs),
+             divided by 2^136 twice; the carries are range-constrained so
+             the low bits must vanish (bigfield_impl.hpp:875-1010).
+  mod n:     one native polynomial identity over the prime-basis limbs.
+
+This v1 keeps bounds simple: every element is constrained < 2^254 at
+creation (maximum limb values tracked per element for the carry range
+sizes), matching the reference's DEFAULT_MAXIMUM_REMAINDER regime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+from ..ff.bn254 import FR_MOD, FQ_MOD
+from .field_t import FieldT
+
+NATIVE = FR_MOD
+TARGET = FQ_MOD
+LIMB_BITS = 68
+LAST_LIMB_BITS = 254 - 3 * LIMB_BITS  # 50
+SHIFT_1 = 1 << LIMB_BITS
+SHIFT_2 = 1 << (2 * LIMB_BITS)
+BINARY_MOD = 1 << (4 * LIMB_BITS)
+NEG_P = BINARY_MOD - TARGET
+NEG_P_LIMBS = [(NEG_P >> (LIMB_BITS * i)) & (SHIFT_1 - 1) for i in range(4)]
+SHIFT_RIGHT_2 = pow(SHIFT_2, -1, NATIVE)
+MAX_DEFAULT = [SHIFT_1 - 1] * 3 + [(1 << LAST_LIMB_BITS) - 1]
+
+
+def _bits(v: int) -> int:
+    return max(v.bit_length(), 1)
+
+
+@dataclasses.dataclass
+class BigField:
+    ctx: object
+    limbs: List[FieldT]          # 4 binary-basis limbs, LSB first
+    prime: FieldT                # native recombination
+    max_limbs: List[int]         # per-limb maximum value bounds
+
+    # -- construction ----------------------------------------------------------
+    @staticmethod
+    def from_witness(ctx, value: int) -> "BigField":
+        value %= TARGET
+        limbs = []
+        for i in range(4):
+            v = (value >> (LIMB_BITS * i)) & (SHIFT_1 - 1)
+            f = FieldT.from_witness(ctx, v)
+            ctx.create_range_constraint(
+                f.witness_index, LIMB_BITS if i < 3 else LAST_LIMB_BITS
+            )
+            limbs.append(f)
+        prime = (
+            limbs[0] + limbs[1] * SHIFT_1 + limbs[2] * SHIFT_2
+            + limbs[3] * (SHIFT_1 * SHIFT_2 % NATIVE)
+        ).normalize()
+        return BigField(ctx, limbs, prime, list(MAX_DEFAULT))
+
+    @staticmethod
+    def from_constant(ctx, value: int) -> "BigField":
+        value %= TARGET
+        limbs = [
+            FieldT.constant((value >> (LIMB_BITS * i)) & (SHIFT_1 - 1))
+            for i in range(4)
+        ]
+        prime = FieldT.constant(value % NATIVE)
+        maxs = [l.get_value() for l in limbs]
+        return BigField(ctx, limbs, prime, maxs)
+
+    def get_value(self) -> int:
+        return sum(l.get_value() << (LIMB_BITS * i) for i, l in enumerate(self.limbs))
+
+    def max_value(self) -> int:
+        return sum(m << (LIMB_BITS * i) for i, m in enumerate(self.max_limbs))
+
+    # -- addition (lazy, no reduction) ------------------------------------------
+    def __add__(self, other: "BigField") -> "BigField":
+        ctx = self.ctx or other.ctx
+        limbs = [a + b for a, b in zip(self.limbs, other.limbs)]
+        prime = self.prime + other.prime
+        maxs = [a + b for a, b in zip(self.max_limbs, other.max_limbs)]
+        out = BigField(ctx, limbs, prime, maxs)
+        if out.max_value() >= (1 << 260):
+            return out.reduce()
+        return out
+
+    def __sub__(self, other: "BigField") -> "BigField":
+        """a - b via adding a borrow-normalized multiple of p whose limb
+        decomposition dominates b's limb maxima (ref: bigfield_impl.hpp
+        operator- unreduced-p padding)."""
+        ctx = self.ctx or other.ctx
+        k = (other.max_value() // TARGET) + 1
+        C = k * TARGET
+        climbs = [(C >> (LIMB_BITS * i)) & (SHIFT_1 - 1) for i in range(4)]
+        climbs.append(C >> (LIMB_BITS * 4))
+        # borrow-normalize so climbs[i] >= other.max_limbs[i]
+        for i in range(3):
+            while climbs[i] < other.max_limbs[i]:
+                climbs[i] += SHIFT_1
+                climbs[i + 1] -= 1
+        climbs[3] += climbs[4] << LIMB_BITS  # fold any overflow into limb 3
+        assert all(climbs[i] >= other.max_limbs[i] for i in range(4)), \
+            "reduce operand first"
+        limbs = [
+            self.limbs[i] + climbs[i] - other.limbs[i] for i in range(4)
+        ]
+        prime = self.prime + (C % NATIVE) - other.prime
+        maxs = [self.max_limbs[i] + climbs[i] for i in range(4)]
+        out = BigField(ctx, limbs, prime, maxs)
+        if out.max_value() >= (1 << 260):
+            return out.reduce()
+        return out
+
+    def reduce(self) -> "BigField":
+        """Witness value mod p as a fresh element and constrain
+        self = q*p + r via the multiply-add identity with to_mul = 1."""
+        one = BigField.from_constant(self.ctx, 1)
+        return _multiply_add(self, one, [], self.ctx)
+
+    # -- multiplication -----------------------------------------------------------
+    def __mul__(self, other: "BigField") -> "BigField":
+        return _multiply_add(self, other, [], self.ctx or other.ctx)
+
+    def madd(self, to_mul: "BigField", to_add: List["BigField"]) -> "BigField":
+        return _multiply_add(self, to_mul, to_add, self.ctx)
+
+    def assert_equal(self, other: "BigField", msg="bigfield::assert_equal"):
+        """Both reduced < p assumed equal value: constrain limb-wise."""
+        a = self if self.max_value() < TARGET * 2 else self.reduce()
+        b = other if other.max_value() < TARGET * 2 else other.reduce()
+        # equality mod p with both < 2p: diff is 0 or p; enforce exact limbs
+        # via the prime basis AND binary recombinations of the difference
+        # being 0 or p.  v1: require canonical witnesses.
+        assert a.get_value() % TARGET == b.get_value() % TARGET, msg
+        diff_is_p = a.get_value() != b.get_value()
+        target = BigField.from_constant(a.ctx, 0)
+        if diff_is_p:
+            raise AssertionError("assert_equal on non-canonical bigfield")
+        for la, lb in zip(a.limbs, b.limbs):
+            la.assert_equal(lb, msg)
+
+
+def _multiply_add(left: BigField, to_mul: BigField, to_add: List[BigField],
+                  ctx) -> BigField:
+    """Constrain left*to_mul + Σ to_add = q*p + r; returns r
+    (ref: bigfield_impl.hpp:875-1010)."""
+    total = left.get_value() * to_mul.get_value() + sum(
+        t.get_value() for t in to_add
+    )
+    q_val, r_val = divmod(total, TARGET)
+    r = BigField.from_witness(ctx, r_val)  # r < p < 2^254 ✓
+
+    # quotient limbs with a bound derived from the max values
+    q_max = (
+        left.max_value() * to_mul.max_value()
+        + sum(t.max_value() for t in to_add)
+    ) // TARGET
+    q_bits = _bits(q_max)
+    assert q_bits <= 4 * LIMB_BITS, "quotient overflow — reduce inputs first"
+    q_limbs = []
+    q_maxs = []
+    for i in range(4):
+        v = (q_val >> (LIMB_BITS * i)) & (SHIFT_1 - 1)
+        f = FieldT.from_witness(ctx, v)
+        bits = min(LIMB_BITS, max(q_bits - LIMB_BITS * i, 1))
+        ctx.create_range_constraint(f.witness_index, bits)
+        q_limbs.append(f)
+        q_maxs.append((1 << bits) - 1)
+    q_prime = (
+        q_limbs[0] + q_limbs[1] * SHIFT_1 + q_limbs[2] * SHIFT_2
+        + q_limbs[3] * (SHIFT_1 * SHIFT_2 % NATIVE)
+    )
+
+    a, b, q, rem = left.limbs, to_mul.limbs, q_limbs, r.limbs
+
+    def cross(i, j):
+        return a[i] * b[j] + q[i] * NEG_P_LIMBS[j]
+
+    r0 = cross(0, 0)
+    r1 = cross(1, 0) + cross(0, 1) - rem[1]
+    r2 = cross(1, 1) + cross(2, 0) + cross(0, 2)
+    r3 = cross(3, 0) + cross(2, 1) + cross(1, 2) + cross(0, 3)
+
+    carry_lo = (r0 + r1 * SHIFT_1 - rem[0]) * SHIFT_RIGHT_2
+    for t in to_add:
+        carry_lo = carry_lo + (t.limbs[0] + t.limbs[1] * SHIFT_1) * SHIFT_RIGHT_2
+    t1 = carry_lo - rem[2] - rem[3] * SHIFT_1
+    carry_hi = (r2 + r3 * SHIFT_1 + t1) * SHIFT_RIGHT_2
+    for t in to_add:
+        carry_hi = carry_hi + (t.limbs[2] + t.limbs[3] * SHIFT_1) * SHIFT_RIGHT_2
+
+    # range sizes from max-value bookkeeping
+    def cross_max(i, j):
+        return left.max_limbs[i] * to_mul.max_limbs[j] + NEG_P_LIMBS[j] * q_maxs[i]
+
+    max_r0 = cross_max(0, 0)
+    max_r1 = cross_max(1, 0) + cross_max(0, 1)
+    max_r2 = cross_max(1, 1) + cross_max(2, 0) + cross_max(0, 2)
+    max_r3 = (cross_max(3, 0) + cross_max(2, 1) + cross_max(1, 2)
+              + cross_max(0, 3))
+    max_a0 = sum(t.max_limbs[0] + (t.max_limbs[1] << LIMB_BITS) for t in to_add)
+    max_a1 = sum(t.max_limbs[2] + (t.max_limbs[3] << LIMB_BITS) for t in to_add)
+    max_lo = max_r0 + (max_r1 << LIMB_BITS) + max_a0
+    max_hi = max_r2 + (max_r3 << LIMB_BITS) + max_a1
+
+    carry_lo_bits = max(_bits(max_lo) - 2 * LIMB_BITS + 1, 2)
+    # carry_lo feeds t1 which adds into the hi columns before the shift
+    carry_hi_bits = max(_bits(max_hi + (max_lo >> (2 * LIMB_BITS)))
+                        - 2 * LIMB_BITS + 1, 2)
+    cl = carry_lo.normalize()
+    ch = carry_hi.normalize()
+    ctx.create_range_constraint(cl.witness_index, carry_lo_bits)
+    ctx.create_range_constraint(ch.witness_index, carry_hi_bits)
+
+    # prime-basis identity: left*mul + adds - q*p - r == 0 (mod native)
+    lhs = left.prime * to_mul.prime
+    for t in to_add:
+        lhs = lhs + t.prime
+    rhs = q_prime * (TARGET % NATIVE) + r.prime
+    (lhs - rhs).assert_equal(FieldT.constant(0), "bigfield prime identity")
+    return r
