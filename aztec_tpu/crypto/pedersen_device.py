@@ -121,12 +121,15 @@ def hash_single_batch(values, hash_index: int):
     )
 
     def step(i, acc):
-        d3 = digit3[i][None]
-        px = jnp.where(d3, tx[:, i : i + 1], ox[:, i : i + 1])
-        px = jnp.broadcast_to(px, values.shape)
-        py = jnp.where(d3, ty[:, i : i + 1], oy[:, i : i + 1])
-        py = jnp.broadcast_to(py, values.shape)
-        py = jnp.where(negate[i][None], limb.neg_mod(py, spec), py)
+        d3 = lax.dynamic_index_in_dim(digit3, i, axis=0, keepdims=False)[None]
+        ng = lax.dynamic_index_in_dim(negate, i, axis=0, keepdims=False)[None]
+        ox_i = lax.dynamic_index_in_dim(ox, i, axis=1, keepdims=True)
+        oy_i = lax.dynamic_index_in_dim(oy, i, axis=1, keepdims=True)
+        tx_i = lax.dynamic_index_in_dim(tx, i, axis=1, keepdims=True)
+        ty_i = lax.dynamic_index_in_dim(ty, i, axis=1, keepdims=True)
+        px = jnp.broadcast_to(jnp.where(d3, tx_i, ox_i), values.shape)
+        py = jnp.broadcast_to(jnp.where(d3, ty_i, oy_i), values.shape)
+        py = jnp.where(ng, limb.neg_mod(py, spec), py)
         return group.add_complete(acc, group.from_affine((px, py), spec), spec)
 
     acc = lax.fori_loop(0, NUM_QUADS, step, acc)

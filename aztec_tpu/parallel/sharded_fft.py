@@ -21,7 +21,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+import warnings
+
+with warnings.catch_warnings():
+    # jax.shard_map (0.8+) renamed check_rep->check_vma; keep the stable
+    # experimental API until we migrate the flag
+    warnings.simplefilter("ignore", DeprecationWarning)
+    from jax.experimental.shard_map import shard_map
 
 from ..ff import FR, limb
 from ..ff.bn254 import FR_MOD

@@ -17,7 +17,13 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+import warnings
+
+with warnings.catch_warnings():
+    # jax.shard_map (0.8+) renamed check_rep->check_vma; keep the stable
+    # experimental API until we migrate the flag
+    warnings.simplefilter("ignore", DeprecationWarning)
+    from jax.experimental.shard_map import shard_map
 
 from ..curves.group_ops import JacobianOps
 from ..curves.spec import CurveSpec
