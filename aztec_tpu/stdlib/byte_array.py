@@ -20,6 +20,12 @@ M = FR_MOD
 def field_to_bytes(inp: FieldT, num_bytes: int = 32) -> List[FieldT]:
     """Witness big-endian bytes of a (normalized) field element and
     constrain their recomposition to equal it."""
+    if inp.is_constant():
+        v = inp.get_value()
+        return [
+            FieldT.constant((v >> (8 * (num_bytes - 1 - i))) & 0xFF)
+            for i in range(num_bytes)
+        ]
     ctx = inp.ctx
     a = inp.normalize()
     v = a.get_value()
@@ -36,11 +42,13 @@ def field_to_bytes(inp: FieldT, num_bytes: int = 32) -> List[FieldT]:
     return out
 
 
-def bytes_to_uint32_words_le(byte_fields: List[FieldT]) -> List[UInt32]:
+def bytes_to_uint32_words_le(byte_fields: List[FieldT],
+                             ctx=None) -> List[UInt32]:
     """Pack in-circuit bytes (big-endian list) into little-endian uint32
     words as blake2s consumes them (4 bytes per word, LE within word)."""
     assert len(byte_fields) % 4 == 0
-    ctx = next(b.ctx for b in byte_fields if b.ctx is not None)
+    if ctx is None:
+        ctx = next(b.ctx for b in byte_fields if b.ctx is not None)
     words = []
     for i in range(0, len(byte_fields), 4):
         w = (
@@ -51,5 +59,8 @@ def bytes_to_uint32_words_le(byte_fields: List[FieldT]) -> List[UInt32]:
         )
         # bytes are LE within the word (byte i is the LOW byte); the word is
         # < 2^32 by construction of its 8-bit-constrained bytes
-        words.append(UInt32(ctx, w.normalize().witness_index))
+        if w.is_constant():
+            words.append(UInt32.from_constant(ctx, w.get_value()))
+        else:
+            words.append(UInt32(ctx, w.normalize().witness_index))
     return words
