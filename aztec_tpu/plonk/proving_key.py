@@ -121,3 +121,6 @@ class VerificationKey:
     g2_x: tuple  # Fq2 affine pair
     settings: StandardSettings = STANDARD
     contains_recursive_proof: bool = False
+    # 16 public-input slots holding P0/P1 as 4x68-bit limbs each
+    # (ref: verifier.cpp:173-208, constants.hpp:8)
+    recursive_proof_public_input_indices: Optional[tuple] = None
