@@ -87,15 +87,46 @@ class MemReferenceString(ProverReferenceString):
     pass
 
 
+def write_dev_srs(srs_dir: str, n: int, tau: int | None = None) -> int:
+    """Write an Ignition-layout dev SRS ([tau^1..tau^n]G, g2 = [tau]_2)
+    readable by BOTH this framework's and the reference's file readers.
+    Returns tau."""
+    from ..curves.pairing import g1_mul
+    from ..numeric.bigint import ints_to_limbs
+
+    os.makedirs(srs_dir, exist_ok=True)
+    tau = tau if tau is not None else 0xB0B0CAFE12345678DEADBEEF
+    taus = []
+    t = 1
+    for _ in range(n):
+        t = t * tau % FR_MOD
+        taus.append(t)
+    pts = [g1_mul(v, (1, 2)) for v in taus]
+    srs_io.write_transcript(
+        os.path.join(srs_dir, "transcript00.dat"),
+        ints_to_limbs([p[0] for p in pts]),
+        ints_to_limbs([p[1] for p in pts]),
+        [tower.g2_mul(tau, tower.G2_GEN), tower.G2_GEN],
+    )
+    return tau
+
+
 class FileReferenceStringFactory:
-    """Loads transcript .dat files (Ignition format, srs/io.cpp)."""
+    """Loads transcript .dat files (Ignition format, srs/io.cpp).
+
+    Layout facts from the reference reader (srs/io.cpp:134-183): monomial 0
+    is ALWAYS the group generator (not stored in the file — files hold
+    [x^1]G onward), and the verifier's [x]_2 is the FIRST g2 element."""
 
     def __init__(self, srs_dir: str):
         self.srs_dir = srs_dir
 
     def get_prover_srs(self, n: int) -> ProverReferenceString:
-        xs, ys = [], []
-        got = 0
+        from ..numeric.bigint import int_to_limbs
+
+        xs = [int_to_limbs(BN254_G1.gen_x)[:, None]]
+        ys = [int_to_limbs(BN254_G1.gen_y)[:, None]]
+        got = 1
         i = 0
         while got < n:
             path = os.path.join(self.srs_dir, f"transcript{i:02d}.dat")
@@ -116,4 +147,4 @@ class FileReferenceStringFactory:
         path = os.path.join(self.srs_dir, "transcript00.dat")
         man, _, _, g2b = srs_io.read_transcript(path)
         pts = srs_io.read_g2_points(g2b)
-        return VerifierReferenceString(pts[1] if len(pts) > 1 else pts[0])
+        return VerifierReferenceString(pts[0])

@@ -39,6 +39,20 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
     """
     import jax
 
+    # XLA:CPU/LLVM recurses deeply compiling our large limb-arithmetic
+    # modules; the default 8MB stack segfaults intermittently.  The main
+    # thread's stack grows up to RLIMIT_STACK at fault time, so raising it
+    # here (we run as root) is effective.
+    try:
+        import resource
+
+        resource.setrlimit(
+            resource.RLIMIT_STACK,
+            (resource.RLIM_INFINITY, resource.RLIM_INFINITY),
+        )
+    except Exception:
+        pass
+
     path = os.path.join(base, _machine_tag())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -30,24 +30,26 @@ def test_transcript_roundtrip(tmp_path):
 
 
 def test_file_reference_string_factory(tmp_path):
-    from aztec_tpu.srs.reference_string import FileReferenceStringFactory
+    from aztec_tpu.srs.reference_string import (
+        FileReferenceStringFactory,
+        write_dev_srs,
+    )
     from aztec_tpu.curves import group
     from aztec_tpu.curves.spec import BN254_G1
+    from aztec_tpu.numeric.bigint import limbs_to_ints
+    from aztec_tpu.ff import limb
 
-    tau = 0xBEEF
-    n = 4
-    taus = [pow(tau, i, FR_MOD) for i in range(n)]
-    pts = [g1_mul(t, (1, 2)) for t in taus]
-    srs_io.write_transcript(
-        os.path.join(tmp_path, "transcript00.dat"),
-        ints_to_limbs([p[0] for p in pts]),
-        ints_to_limbs([p[1] for p in pts]),
-        [G2_GEN, g2_mul(tau, G2_GEN)],
-    )
+    tau = write_dev_srs(str(tmp_path), 4, tau=0xBEEF)
     fac = FileReferenceStringFactory(str(tmp_path))
-    prs = fac.get_prover_srs(n)
-    X, Y = prs.get_monomials(n)
-    ok = group.is_on_curve_affine((X, Y), BN254_G1.field, 3)
+    prs = fac.get_prover_srs(5)
+    X, Y = prs.get_monomials(5)
+    fq = BN254_G1.field
+    ok = group.is_on_curve_affine((X, Y), fq, 3)
     assert bool(np.all(np.asarray(ok)))
+    # monomial 0 is the generator; monomial i is tau^i * G
+    xs = limbs_to_ints(np.asarray(limb.from_mont(X, fq)))
+    assert xs[0] == 1
+    assert (xs[1], xs[2]) == (g1_mul(tau, (1, 2))[0],
+                              g1_mul(tau * tau % FR_MOD, (1, 2))[0])
     vrs = fac.get_verifier_srs()
     assert vrs.g2_x == g2_mul(tau, G2_GEN)
