@@ -41,8 +41,7 @@ int main(int argc, char** argv)
         }
     }
 
-    auto crs = std::make_shared<FileReferenceStringFactory>(srs_dir);
-    StandardComposer composer(std::static_pointer_cast<ReferenceStringFactory>(crs));
+    StandardComposer composer(srs_dir);
 
     // mirror tests/test_plonk.py::_build_test_circuit
     composer.create_dummy_gates();
