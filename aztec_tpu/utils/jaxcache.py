@@ -65,10 +65,35 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
 
         def guarded_put(cache_key, module_name, executable, backend,
                         compile_time):
-            if backend.platform == "cpu" and compile_time > max_compile_secs:
+            if backend.platform != "cpu":
+                return orig_put(cache_key, module_name, executable, backend,
+                                compile_time)
+            if compile_time > max_compile_secs:
                 return  # compile_time is in seconds (compiler.py:830)
-            return orig_put(cache_key, module_name, executable, backend,
-                            compile_time)
+            # XLA:CPU executable.serialize() SIGSEGVs on some modules in this
+            # jaxlib (observed on scan-heavy kernels, killing whole pytest
+            # runs from inside the cache-write path).  Serialize + write in a
+            # forked child: a crash there loses one cache entry, not the
+            # process.  alarm() bounds a child that deadlocks on a lock some
+            # other thread held at fork time.
+            pid = os.fork()
+            if pid == 0:
+                code = 1
+                try:
+                    import signal
+
+                    signal.alarm(300)
+                    orig_put(cache_key, module_name, executable, backend,
+                             compile_time)
+                    code = 0
+                except BaseException:
+                    pass
+                finally:
+                    os._exit(code)
+            try:
+                os.waitpid(pid, 0)
+            except ChildProcessError:
+                pass
 
         cc.put_executable_and_time = guarded_put
         cc._aztec_guarded = True
