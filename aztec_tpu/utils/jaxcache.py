@@ -37,12 +37,11 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
     2^16-point MSM, observed on this jaxlib), so entries whose compile took
     longer than ``max_compile_secs`` are not persisted on the CPU backend.
     """
-    import jax
-
-    # XLA:CPU/LLVM recurses deeply compiling our large limb-arithmetic
-    # modules; the default 8MB stack segfaults intermittently.  The main
-    # thread's stack grows up to RLIMIT_STACK at fault time, so raising it
-    # here (we run as root) is effective.
+    # XLA:CPU sporadically SIGSEGVs when compiling a FRESH module late in a
+    # process that has already compiled ~20 modules (state-dependent compiler
+    # bug; the same module compiles fine early or in a fresh process — see
+    # tools/seed_cache.py for the mitigation).  Raising RLIMIT_STACK helps
+    # the deep-recursion subset of those crashes.
     try:
         import resource
 
@@ -53,6 +52,10 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
     except Exception:
         pass
 
+    import jax
+
+    if os.environ.get("AZTEC_NO_CPU_CACHE"):
+        return None
     path = os.path.join(base, _machine_tag())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
@@ -68,8 +71,8 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
             if backend.platform != "cpu":
                 return orig_put(cache_key, module_name, executable, backend,
                                 compile_time)
-            if compile_time > max_compile_secs:
-                return  # compile_time is in seconds (compiler.py:830)
+            if os.environ.get("AZTEC_NO_CPU_CACHE_WRITE"):
+                return
             # XLA:CPU executable.serialize() SIGSEGVs on some modules in this
             # jaxlib (observed on scan-heavy kernels, killing whole pytest
             # runs from inside the cache-write path).  Serialize + write in a
