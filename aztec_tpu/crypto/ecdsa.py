@@ -110,6 +110,15 @@ def verify(message: bytes, public_key, sig: Tuple[int, int],
     r, s = sig
     if not (1 <= r < curve.n and 1 <= s < curve.n):
         return False
+    # invalid-curve check: an off-curve or identity "public key" would be
+    # processed silently by _mul/_add (ADVICE r1)
+    if public_key is None:
+        return False
+    px, py = public_key
+    if not (0 <= px < curve.p and 0 <= py < curve.p):
+        return False
+    if (py * py - (px * px * px + curve.a * px + curve.b)) % curve.p != 0:
+        return False
     z = int.from_bytes(hashlib.sha256(message).digest(), "big") % curve.n
     w = pow(s, -1, curve.n)
     u1 = z * w % curve.n

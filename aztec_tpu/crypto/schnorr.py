@@ -38,6 +38,17 @@ def construct_signature(message: bytes, private_key: int,
 def verify_signature(message: bytes, public_key, sig: Tuple[bytes, bytes],
                      hasher: Callable[[bytes], bytes] = blake2s) -> bool:
     """R = sG + e*pub; accept iff H(R.x || m) == e (ref: schnorr.tcc:95-121)."""
+    # invalid-curve check on the public key (ADVICE r1): grumpkin is
+    # y^2 = x^3 - 17 over Fr
+    from ..ff.bn254 import FR_MOD
+
+    if public_key is None:
+        return False
+    px, py = public_key
+    if not (0 <= px < FR_MOD and 0 <= py < FR_MOD):
+        return False
+    if (py * py - (px * px * px - 17)) % FR_MOD != 0:
+        return False
     s_bytes, e_bytes = sig
     s = int.from_bytes(s_bytes, "big") % ORDER
     e = int.from_bytes(e_bytes, "big") % ORDER

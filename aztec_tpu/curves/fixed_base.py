@@ -6,6 +6,12 @@ fixed_base_ladder tables, crypto/pedersen/pedersen.hpp:7-19).  Windowed-table
 method: per w-bit window j, a table T_j[d] = d * 2^(w j) * G built with a
 Hillis prefix scan over a constant row, then each scalar gathers one entry
 per window and folds them with complete adds.
+
+All group math runs on the branchless complete projective ops (RCB16,
+curves/group.py) — table entries systematically coincide (d*G vs d*G) and
+entry 0 is the identity, so completeness is required, and the RCB formulas
+are both cheaper and far smaller in the XLA graph than the Jacobian
+add_complete composite.
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ from .group_ops import JacobianOps
 from .spec import CurveSpec
 
 
-def _prefix_scan_add(ops, V):
+def _prefix_scan_c(ops, V):
     n = V[0].shape[-1]
     steps = max((n - 1).bit_length(), 1)
     idx = jnp.arange(n)
@@ -29,7 +35,7 @@ def _prefix_scan_add(ops, V):
     def step(s, V):
         d = jnp.int32(1) << s
         shifted = tuple(jnp.roll(a, d, axis=-1) for a in V)
-        combined = ops.add_complete(shifted, V)
+        combined = ops.c_add(shifted, V)
         return ops.select(idx >= d, combined, V)
 
     return lax.fori_loop(0, steps, step, V)
@@ -37,7 +43,7 @@ def _prefix_scan_add(ops, V):
 
 @functools.partial(jax.jit, static_argnames=("curve", "w"))
 def _window_tables(GX, GY, curve: CurveSpec, w: int):
-    """T[j][d] = d * 2^(w j) * G as Jacobian planes tuple of (nw, L, 2^w)."""
+    """T[j][d] = d * 2^(w j) * G as projective planes tuple of (nw, L, 2^w)."""
     spec = curve.field
     ops = JacobianOps(curve)
     nw = 256 // w
@@ -45,17 +51,17 @@ def _window_tables(GX, GY, curve: CurveSpec, w: int):
 
     def build_window(base, _):
         row = tuple(jnp.broadcast_to(a, (spec.nlimbs, size)) for a in base)
-        keep = jnp.arange(size) != 0  # entry 0 = infinity
-        row = ops.mask_to_infinity(keep, row)
-        table = _prefix_scan_add(ops, row)
+        keep = jnp.arange(size) != 0  # entry 0 = identity
+        row = ops.c_mask_to_infinity(keep, row)
+        table = _prefix_scan_c(ops, row)
 
         def dblw(_, a):
-            return ops.dbl(a)
+            return ops.c_dbl(a)
 
         base = lax.fori_loop(0, w, dblw, base)
         return base, table
 
-    G = group.from_affine((GX, GY), spec)
+    G = ops.j2c(group.from_affine((GX, GY), spec))
     _, tables = lax.scan(build_window, G, None, length=nw)
     return tables
 
@@ -67,7 +73,7 @@ def _gather_and_sum(tables, scalars, curve: CurveSpec, w: int):
     nw = 256 // w
     mask = jnp.uint32((1 << w) - 1)
 
-    acc = ops.infinity((n,))
+    acc = ops.c_infinity((n,))
 
     def step(j, acc):
         limb_idx = (w * j) // 16
@@ -78,9 +84,10 @@ def _gather_and_sum(tables, scalars, curve: CurveSpec, w: int):
             lax.dynamic_index_in_dim(t, j, axis=0, keepdims=False)[:, digit]
             for t in tables
         )
-        return ops.add_complete(acc, entry)
+        return ops.c_add(acc, entry)
 
-    return lax.fori_loop(0, nw, step, acc)
+    acc = lax.fori_loop(0, nw, step, acc)
+    return ops.c2j(acc)
 
 
 def fixed_base_mul(scalars, curve: CurveSpec, w: int = 8):

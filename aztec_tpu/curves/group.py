@@ -19,6 +19,7 @@ Variants mirror the reference's safety split (scalar_multiplication.cpp:923
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ff import limb
 from ..ff.spec import FieldSpec
@@ -203,6 +204,110 @@ def is_on_curve_affine(Qa, spec: FieldSpec, b_int: int):
     lhs = sqr(Y)
     rhs = limb.add_mod(mul(sqr(X), X), jnp.broadcast_to(bm, X.shape), spec)
     return limb.eq(lhs, rhs)
+
+
+# -- Complete homogeneous-projective ops (Renes-Costello-Batina 2016) ------
+#
+# Branchless complete addition/doubling for a=0 short-Weierstrass curves on
+# (X:Y:Z) homogeneous coordinates, identity = (0:1:0).  One uniform formula
+# (12M + 2 constant muls) replaces the Jacobian add_complete's
+# add_unsafe+dbl+eq-select composite (~2x the muls and ~2x the XLA graph),
+# and is *sound for all inputs* — the MSM bucket phase needs no
+# linear-independence argument for its plateau/coincidence cases.
+# Role of the reference's element::operator+= completeness handling
+# (ecc/groups/element_impl.hpp).
+
+
+def _b3_mont(spec: FieldSpec, b_int: int, ndim: int):
+    from ..numeric.bigint import int_to_limbs
+
+    b3 = (3 * b_int * spec.R) % spec.modulus
+    return limb.const(np.asarray(int_to_limbs(b3)), ndim)
+
+
+def proj_add_complete(P, Q, spec: FieldSpec, b_int: int):
+    """(X1:Y1:Z1) + (X2:Y2:Z2), complete (RCB16 algorithm 7, a=0)."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    add, sub, mul, sqr = _ops(spec)
+    b3 = jnp.broadcast_to(_b3_mont(spec, b_int, X1.ndim), X1.shape)
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = mul(add(X1, Y1), add(X2, Y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mul(add(Y1, Z1), add(Y2, Z2))
+    t4 = sub(t4, add(t1, t2))
+    X3 = mul(add(X1, Z1), add(X2, Z2))
+    Y3 = sub(X3, add(t0, t2))
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)
+    t2 = mul(b3, t2)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = mul(b3, Y3)
+    X3 = sub(mul(t3, t1), mul(t4, Y3))
+    Y3 = add(mul(t1, Z3), mul(Y3, t0))
+    Z3 = add(mul(Z3, t4), mul(t0, t3))
+    return (X3, Y3, Z3)
+
+
+def proj_dbl(P, spec: FieldSpec, b_int: int):
+    """2*(X:Y:Z), complete (RCB16 algorithm 9, a=0)."""
+    X, Y, Z = P
+    add, sub, mul, sqr = _ops(spec)
+    b3 = jnp.broadcast_to(_b3_mont(spec, b_int, X.ndim), X.shape)
+    t0 = sqr(Y)
+    Z3 = add(t0, t0)
+    Z3 = add(Z3, Z3)
+    Z3 = add(Z3, Z3)
+    t1 = mul(Y, Z)
+    t2 = mul(b3, sqr(Z))
+    X3 = mul(t2, Z3)
+    Y3 = add(t0, t2)
+    Z3 = mul(t1, Z3)
+    t1 = add(t2, t2)
+    t2 = add(t1, t2)
+    t0 = sub(t0, t2)
+    Y3 = add(X3, mul(t0, Y3))
+    X3 = mul(t0, mul(X, Y))
+    X3 = add(X3, X3)
+    return (X3, Y3, Z3)
+
+
+def proj_infinity(spec: FieldSpec, batch_shape=()):
+    """(0 : 1 : 0) in Montgomery form."""
+    z = jnp.zeros((spec.nlimbs,) + tuple(batch_shape), jnp.uint32)
+    one = jnp.broadcast_to(limb.const(spec.one_mont_limbs, z.ndim), z.shape)
+    return (z, one, z)
+
+
+def jacobian_to_proj(P, spec: FieldSpec):
+    """(Xj:Yj:Zj) Jacobian -> (Xj*Zj : Yj : Zj^3); infinity -> (0:1:0)."""
+    X, Y, Z = P
+    add, sub, mul, sqr = _ops(spec)
+    Xp = mul(X, Z)
+    Zp = mul(sqr(Z), Z)
+    inf = limb.is_zero(Z)
+    one = _one_mont_like(Y, spec)
+    return (Xp, limb.select(inf, one, Y), Zp)
+
+
+def proj_to_jacobian(P, spec: FieldSpec):
+    """(X:Y:Z) -> Jacobian (X*Z, Y*Z^2, Z); identity maps to Z=0."""
+    X, Y, Z = P
+    add, sub, mul, sqr = _ops(spec)
+    return (mul(X, Z), mul(Y, sqr(Z)), Z)
+
+
+def proj_mask_to_infinity(keep_mask, P, spec: FieldSpec):
+    X, Y, Z = P
+    one = _one_mont_like(Y, spec)
+    return (
+        jnp.where(keep_mask[None], X, jnp.zeros_like(X)),
+        limb.select(keep_mask, Y, one),
+        jnp.where(keep_mask[None], Z, jnp.zeros_like(Z)),
+    )
 
 
 def eq_jacobian(P, Q, spec: FieldSpec):

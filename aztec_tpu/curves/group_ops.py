@@ -56,6 +56,26 @@ class JacobianOps:
     def zeros_like(self, P):
         return tuple(jnp.zeros_like(a) for a in P)
 
+    # complete homogeneous-projective ops (RCB16) — the MSM bucket phase
+    # runs on these: one branchless formula, sound for all inputs
+    def c_infinity(self, batch_shape=()):
+        return group.proj_infinity(self.spec, batch_shape)
+
+    def c_add(self, P, Q):
+        return group.proj_add_complete(P, Q, self.spec, self.curve.b)
+
+    def c_dbl(self, P):
+        return group.proj_dbl(P, self.spec, self.curve.b)
+
+    def j2c(self, P):
+        return group.jacobian_to_proj(P, self.spec)
+
+    def c2j(self, P):
+        return group.proj_to_jacobian(P, self.spec)
+
+    def c_mask_to_infinity(self, keep_mask, P):
+        return group.proj_mask_to_infinity(keep_mask, P, self.spec)
+
 
 @dataclasses.dataclass(frozen=True)
 class IntModOps:
@@ -83,3 +103,14 @@ class IntModOps:
 
     def mask_to_infinity(self, keep_mask, P):
         return tuple(jnp.where(keep_mask[None], a, jnp.zeros_like(a)) for a in P)
+
+    # "projective" aliases: the mock group has one representation
+    c_infinity = infinity
+    c_add = add_unsafe
+    c_dbl = dbl
+
+    def j2c(self, P):
+        return P
+
+    c2j = j2c
+    c_mask_to_infinity = mask_to_infinity

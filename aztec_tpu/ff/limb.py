@@ -38,15 +38,37 @@ def const(limbs: np.ndarray, ndim: int) -> jnp.ndarray:
     return jnp.asarray(limbs, U32).reshape(limbs.shape + (1,) * (ndim - 1))
 
 
+import os
+
+_CARRY_IMPL = os.environ.get("AZTEC_CARRY", "scan")
+_CONV_IMPL = os.environ.get("AZTEC_CONV", "dot")
+
+
 def _carry_scan(gen, prop):
-    """Kogge-Stone carry resolution: carry-out[k] of limbs 0..k given cin=0."""
+    """Kogge-Stone carry resolution: carry-out[k] of limbs 0..k given cin=0.
 
-    def comb(a, b):
-        ag, ap = a
-        bg, bp = b
-        return (bg | (bp & ag), ap & bp)
+    Two equivalent formulations (AZTEC_CARRY): 'ks' hand-rolls a
+    Hillis-Steele over the limb axis (log2(L) static pad+shift+logic
+    steps); 'scan' uses lax.associative_scan's odd/even recursion."""
+    if _CARRY_IMPL == "scan":
+        def comb(a, b):
+            ag, ap = a
+            bg, bp = b
+            return (bg | (bp & ag), ap & bp)
 
-    G, _ = lax.associative_scan(comb, (gen, prop), axis=0)
+        G, _ = lax.associative_scan(comb, (gen, prop), axis=0)
+        return G
+
+    G, P = gen, prop
+    L = G.shape[0]
+    d = 1
+    while d < L:
+        # shift down by d along the limb axis; shifted-in identity = (0, 1)
+        Gs = jnp.concatenate([jnp.zeros_like(G[:d]), G[:-d]], axis=0)
+        Ps = jnp.concatenate([jnp.ones_like(P[:d]), P[:-d]], axis=0)
+        G = G | (P & Gs)
+        P = P & Ps
+        d *= 2
     return G
 
 
@@ -86,7 +108,8 @@ def add_mod(a, b, spec: FieldSpec):
 
 def sub_mod(a, b, spec: FieldSpec):
     cols = a + (MASK - b)
-    one = jnp.zeros_like(cols).at[0].add(1)
+    one = jnp.zeros((cols.shape[0], 1), U32).at[0, 0].set(1)
+    one = one.reshape((cols.shape[0],) + (1,) * (cols.ndim - 1))
     z, co = canon(cols + one)
     p = const(spec.p_limbs, a.ndim)
     addp = jnp.where((co == 0)[None], p, jnp.zeros_like(p))
@@ -98,29 +121,75 @@ def neg_mod(a, spec: FieldSpec):
     return sub_mod(jnp.zeros_like(a), a, spec)
 
 
+@functools.lru_cache(maxsize=None)
+def _conv_mat(L: int, out_cols: int):
+    """0/1 reduction matrix turning the flattened (lo, hi) outer-product
+    planes into schoolbook columns: C[k, i*L+j] = [i+j == k] for the low
+    halves and C[k, L*L + i*L+j] = [i+j+1 == k] for the high halves."""
+    i = np.arange(L)[:, None]
+    j = np.arange(L)[None, :]
+    s = (i + j).reshape(-1)
+    C = np.zeros((out_cols, 2 * L * L), np.float32)
+    for k in range(out_cols):
+        C[k, : L * L] = s == k
+        C[k, L * L :] = s == k - 1
+    return C
+
+
+def _conv_cols(a, b, L: int, out_cols: int):
+    """Redundant schoolbook columns of a*b: cols[k] = sum_{i+j=k} lo(a_i b_j)
+    + sum_{i+j=k-1} hi(a_i b_j), each column < 2**21.
+
+    a, b: (L, *batch) canonical (< 2**16) limb planes; returns uint32
+    (out_cols, *batch).  Two formulations (AZTEC_CONV):
+
+    - 'dot': outer product, then ONE dense matmul against the constant 0/1
+      reduction matrix.  Exact in f32 at HIGHEST precision (operands are
+      0/1 or < 2**16; every column sums <= 32 terms, so products and
+      accumulations stay below 2**24).  On TPU the reduction rides the
+      MXU; ~10 HLO ops per multiply.
+    - 'pad': shifted-pad tree reduction — 2L static concats aligning each
+      outer-product row with its output column plus one stacked sum; pure
+      VPU int32, no f32 round-trips.
+
+    Both replace the original unrolled schoolbook scatter-add loop, whose
+    64 dynamic-update-slices per multiply made every field op ~1.7k HLO
+    ops and pushed whole-prover XLA compiles into minutes."""
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    P = a[:, None] * b[None, :]  # (L, L, *batch) exact 32-bit products
+    P = jnp.broadcast_to(P, (L, L) + bshape)
+    if _CONV_IMPL == "dot":
+        Pf = P.reshape((L * L, -1))
+        V = jnp.concatenate([Pf & MASK, Pf >> 16], axis=0).astype(jnp.float32)
+        C = jnp.asarray(_conv_mat(L, out_cols))
+        cols = lax.dot_general(
+            C, V, (((1,), (0,)), ((), ())), precision=lax.Precision.HIGHEST
+        )
+        return cols.astype(U32).reshape((out_cols,) + bshape)
+    lo = P & MASK
+    hi = P >> 16
+    rows = []
+    for i in range(L):
+        zf = jnp.zeros((i,) + bshape, U32)
+        zb = jnp.zeros((max(out_cols - L - i, 0),) + bshape, U32)
+        rows.append(jnp.concatenate([zf, lo[i][: out_cols - i], zb], axis=0))
+        zf1 = jnp.zeros((i + 1,) + bshape, U32)
+        zb1 = jnp.zeros((max(out_cols - L - i - 1, 0),) + bshape, U32)
+        if out_cols - i - 1 > 0:
+            rows.append(
+                jnp.concatenate([zf1, hi[i][: out_cols - i - 1], zb1], axis=0)
+            )
+    return jnp.sum(jnp.stack(rows, axis=0), axis=0)
+
+
 def _mul_full(a, b, L: int):
     """Schoolbook product -> 2L redundant columns (each < 2**21)."""
-    batch = a.shape[1:]
-    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    acc = jnp.zeros((2 * L,) + bshape, U32)
-    for i in range(L):
-        pi = a[i][None] * b  # (L, *batch) 32-bit exact products
-        acc = acc.at[i : i + L].add(pi & MASK)
-        acc = acc.at[i + 1 : i + L + 1].add(pi >> 16)
-    return acc
+    return _conv_cols(a, b, L, 2 * L)
 
 
 def _mul_lo(a, b, L: int):
     """Low L columns of the schoolbook product (redundant, < 2**21)."""
-    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    acc = jnp.zeros((L,) + bshape, U32)
-    for i in range(L):
-        w = L - i
-        pi = a[i][None] * b[:w]
-        acc = acc.at[i:L].add(pi & MASK)
-        if w > 1:
-            acc = acc.at[i + 1 : L].add((pi >> 16)[: w - 1])
-    return acc
+    return _conv_cols(a, b, L, L)
 
 
 def mont_mul(a, b, spec: FieldSpec):

@@ -90,17 +90,11 @@ def _hillis_seg_scan(ops, V, F):
     return V
 
 
-def _hillis_scan(ops, V, complete: bool = False):
-    """Inclusive unsegmented scan (group add) over the last axis.
-
-    ``complete=True`` uses complete addition — required whenever scanned
-    values can coincide systematically (suffix-sum plateaus from empty
-    buckets), where unsafe add would silently produce infinity.
-    """
+def _hillis_scan(ops, V, add):
+    """Inclusive unsegmented scan over the last axis with the given add."""
     B = V[0].shape[-1]
     steps = max((B - 1).bit_length(), 1)
     idx = jnp.arange(B)
-    add = ops.add_complete if complete else ops.add_unsafe
 
     def step(s, V):
         d = jnp.int32(1) << s
@@ -160,12 +154,19 @@ def _rake_segment_scan(ops, sd, pts, B: int, K: int):
 
 
 def _bucket_phase(ops, buckets, nbuckets: int, K2: int):
-    """sum_{j>=1} j * B_j via suffix sums, rake-style; width-1 result."""
+    """sum_{j>=1} j * B_j via suffix sums, rake-style; width-1 result.
+
+    Runs entirely on the complete projective ops (``c_*``): suffix-sum
+    plateaus from empty buckets systematically produce equal/identity
+    operands, which the branchless RCB formulas handle with no
+    case analysis (and at ~half the graph size of the Jacobian
+    add_complete composite).  ``buckets`` must already be in the complete
+    representation (``ops.j2c``)."""
     B2 = nbuckets // K2
     rev = tuple(jnp.flip(b, axis=-1) for b in buckets)  # suffix -> prefix
     rb = tuple(b.reshape(b.shape[:-1] + (B2, K2)) for b in rev)
 
-    inf = ops.infinity((B2,))
+    inf = ops.c_infinity((B2,))
     out0 = tuple(jnp.zeros(i.shape + (K2,), i.dtype) for i in inf)
 
     def step(k, carry):
@@ -174,7 +175,7 @@ def _bucket_phase(ops, buckets, nbuckets: int, K2: int):
             lax.dynamic_index_in_dim(b, k, axis=b.ndim - 1, keepdims=False)
             for b in rb
         )
-        acc = ops.add_unsafe(acc, Pk)
+        acc = ops.c_add(acc, Pk)
         out = tuple(
             lax.dynamic_update_index_in_dim(o, v, k, axis=o.ndim - 1)
             for o, v in zip(out, acc)
@@ -183,40 +184,39 @@ def _bucket_phase(ops, buckets, nbuckets: int, K2: int):
 
     totals, local = lax.fori_loop(0, K2, step, (inf, out0))
 
-    # exclusive carry of lane totals (disjoint bucket ranges: unsafe ok)
-    scanned = _hillis_scan(ops, totals)
+    # exclusive carry of lane totals
+    scanned = _hillis_scan(ops, totals, ops.c_add)
     idx2 = jnp.arange(B2)
-    carry = ops.select(idx2 >= 1, _roll(scanned, 1), ops.infinity((B2,)))
+    carry = ops.select(idx2 >= 1, _roll(scanned, 1), ops.c_infinity((B2,)))
 
-    # S_rev[b2, k] = local[b2, k] + carry[b2].  COMPLETE add: with empty
-    # buckets, suffix values form plateaus (S_j == S_j+1 == ...), and
-    # local/carry can be equal small multiples of the same plateau value —
-    # unsafe add would silently emit infinity there.
-    S = ops.add_complete(local, tuple(c[..., None] for c in carry))
+    # S_rev[b2, k] = local[b2, k] + carry[b2]
+    S = ops.c_add(local, tuple(c[..., None] for c in carry))
 
     # W = sum over S_rev[0 .. nbuckets-2]  (drop S_rev[last] = S_0)
     Sf = tuple(s.reshape(s.shape[:-2] + (nbuckets,)) for s in S)
     keep = jnp.arange(nbuckets) != (nbuckets - 1)
-    Sf = ops.mask_to_infinity(keep, Sf)
+    Sf = ops.c_mask_to_infinity(keep, Sf)
 
     sb = tuple(s.reshape(s.shape[:-1] + (B2, K2)) for s in Sf)
 
-    # weighted total: accumulates OVERLAPPING suffix sets -> complete adds
     def sumstep(k, acc):
         Pk = tuple(
             lax.dynamic_index_in_dim(b, k, axis=b.ndim - 1, keepdims=False)
             for b in sb
         )
-        return ops.add_complete(acc, Pk)
+        return ops.c_add(acc, Pk)
 
-    colsum = lax.fori_loop(0, K2, sumstep, ops.infinity((B2,)))
-    tot = _hillis_scan(ops, colsum, complete=True)
+    colsum = lax.fori_loop(0, K2, sumstep, ops.c_infinity((B2,)))
+    tot = _hillis_scan(ops, colsum, ops.c_add)
     return tuple(a[..., -1:] for a in tot)
 
 
-def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int):
+def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
+               return_jacobian: bool = True):
     """Group-generic Pippenger.  pts: tuple of (*, n) arrays (affine);
-    scalars: (16, n) canonical uint32 limb planes.  Width-1 group element."""
+    scalars: (16, n) canonical uint32 limb planes.  Width-1 group element
+    (Jacobian by default; ``return_jacobian=False`` keeps the complete
+    projective representation, e.g. for cross-device combines)."""
     rounds = 256 // c
     nbuckets = 1 << c
     K = block
@@ -225,7 +225,7 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int)
 
     def round_body(r, acc):
         def dbl_step(_, a):
-            return ops.dbl(a)
+            return ops.c_dbl(a)
 
         acc = lax.fori_loop(0, c, dbl_step, acc)
 
@@ -269,11 +269,12 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int)
             for b, v in zip(buckets, corrected)
         )
 
-        W = _bucket_phase(ops, buckets, nbuckets, bucket_block)
-        return ops.add_complete(acc, W)
+        W = _bucket_phase(ops, ops.j2c(buckets), nbuckets, bucket_block)
+        return ops.c_add(acc, W)
 
-    acc0 = ops.infinity((1,))
-    return lax.fori_loop(0, rounds, round_body, acc0)
+    acc0 = ops.c_infinity((1,))
+    acc = lax.fori_loop(0, rounds, round_body, acc0)
+    return ops.c2j(acc) if return_jacobian else acc
 
 
 @functools.partial(

@@ -49,15 +49,19 @@ def sharded_msm(mesh: Mesh, axis: str, points, scalars, curve: CurveSpec,
         part = msm_engine(
             ops, (Xs, Ys), ss, n // ndev,
             config.c, config.block, config.bucket_block,
+            return_jacobian=False,
         )
-        # gather the per-device partials and tree-combine (replicated result)
+        # gather the per-device partials (complete projective) and fold with
+        # ONE width-ndev scan — a single RCB add body in the graph instead
+        # of ndev-1 unrolled Jacobian complete adds
         gathered = tuple(
             jax.lax.all_gather(a, axis_name=axis, axis=0) for a in part
         )  # each (ndev, L, 1)
-        acc = tuple(g[0] for g in gathered)
-        for d in range(1, ndev):
-            acc = ops.add_complete(acc, tuple(g[d] for g in gathered))
-        return acc
+        wide = tuple(jnp.moveaxis(g[..., 0], 0, -1) for g in gathered)  # (L, ndev)
+        from ..msm.pippenger import _hillis_scan
+
+        tot = _hillis_scan(ops, wide, ops.c_add)
+        return ops.c2j(tuple(a[..., -1:] for a in tot))
 
     fn = shard_map(
         local_msm,

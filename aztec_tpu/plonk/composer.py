@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..ff.bn254 import FR_MOD
 from ..srs.reference_string import FakeReferenceStringFactory
 from . import kernels
-from .manifests import STANDARD, TURBO, StandardSettings
+from .manifests import STANDARD, TURBO, ULTRA, StandardSettings
 from .proving_key import ProvingKey, VerificationKey, ints_to_mont
 
 NUM_RESERVED_GATES = 4  # >= num_roots_cut_out_of_vanishing_polynomial
@@ -166,10 +166,10 @@ class ComposerBase:
                 nrow, ncol = cyc[(j + 1) % m]
                 next_row[col][row] = nrow
                 factor_idx[col][row] = ncol
-        # public input consistency override on sigma_1
+        # public input consistency override on sigma_1 (external tag = 4)
         for i in range(num_pub):
             next_row[0][i] = i
-            factor_idx[0][i] = 3
+            factor_idx[0][i] = 4
         return next_row, factor_idx
 
     def _wire_lists(self):
@@ -648,3 +648,147 @@ class TurboComposer(ComposerBase):
             "w_3": build(self.w_o, False),
             "w_4": build(self.w_4, False),
         }, pubvals
+
+
+class UltraComposer(TurboComposer):
+    """UltraPlonk composer: the turbo gate set + plookup lookup gates
+    (docs/ULTRA_DESIGN.md; ref design: barretenberg/lookup_tables.md,
+    polynomial_manifest.hpp:23-46 reserved slots).
+
+    A lookup gate places (key1, key2, value) on w_1..w_3 with q_lookup = 1
+    and q_index = the table index; the proving key carries the table columns
+    as table_1..4 plus q_lookup/q_index, and the prover adds the sorted-list
+    halves S_1/S_2 and the Z_LOOKUP grand product (flavors.UltraFlavor).
+    """
+
+    SELECTORS = TurboComposer.SELECTORS + ("q_lookup", "q_index")
+
+    def __init__(self, crs_factory=None, settings=ULTRA):
+        super().__init__(crs_factory, settings)
+        self.tables: Dict[int, object] = {}
+        self._lookups: List[tuple] = []
+
+    def _flavor(self):
+        from .flavors import UltraFlavor
+
+        return UltraFlavor
+
+    def _unrolled_flavor(self):
+        # ultra is already unlinearised; recursion settings come later
+        return self._flavor()
+
+    # -- tables / lookup gates -------------------------------------------------
+    def add_lookup_table(self, table) -> None:
+        if table.index in self.tables:
+            assert self.tables[table.index] is table
+            return
+        self.tables[table.index] = table
+
+    def create_lookup_gate(self, a: int, b: int, c: int, table_index: int):
+        """Constrain (w(a), w(b), w(c)) to be a row of the table."""
+        assert table_index in self.tables, "register the table first"
+        self._push(a, b, c, self.zero_idx, q_lookup=1, q_index=table_index)
+        self._lookups.append(
+            (self.get_variable(a), self.get_variable(b), self.get_variable(c),
+             table_index)
+        )
+
+    def read_from_table(self, table_index: int, a: int, b: int = None) -> int:
+        """Witness the table value for keys (w(a), w(b)) and add the lookup
+        gate; returns the value's witness index."""
+        table = self.tables[table_index]
+        k1 = self.get_variable(a)
+        k2 = self.get_variable(b) if b is not None else 0
+        row = next(
+            (r for r in table.rows if r[0] == k1 and r[1] == k2), None
+        )
+        if row is None:
+            if not self.failed:
+                self.failed = True
+                self.err = f"lookup ({k1},{k2}) not in table {table_index}"
+            row = table.rows[0]
+        c = self.add_variable(row[2])
+        if b is None:
+            b = self.zero_idx
+        self.create_lookup_gate(a, b, c, table_index)
+        return c
+
+    def create_range_constraint_via_lookup(self, witness_index: int,
+                                           table_index: int,
+                                           num_chunks: int,
+                                           chunk_bits: int):
+        """Range-constrain to num_chunks * chunk_bits bits with one lookup
+        row per chunk + a recomposition gate chain (vs one turbo gate per
+        8 bits)."""
+        value = self.get_variable(witness_index)
+        base = 1 << chunk_bits
+        chunks = [(value >> (chunk_bits * i)) & (base - 1)
+                  for i in range(num_chunks)]
+        acc_idx = None
+        acc_val = 0
+        for i in reversed(range(num_chunks)):
+            ci = self.add_variable(chunks[i])
+            self.create_lookup_gate(ci, self.zero_idx, self.zero_idx,
+                                    table_index)
+            if acc_idx is None:
+                acc_idx, acc_val = ci, chunks[i]
+            else:
+                new_val = (acc_val * base + chunks[i]) % FR_MOD
+                new_idx = self.add_variable(new_val)
+                self.create_add_gate(AddTriple(
+                    acc_idx, ci, new_idx, base, 1, -1, 0))
+                acc_idx, acc_val = new_idx, new_val
+        self.assert_equal(acc_idx, witness_index, "range lookup mismatch")
+        return acc_idx
+
+    # -- keys ------------------------------------------------------------------
+    def _table_size(self) -> int:
+        return sum(len(t.rows) for t in self.tables.values())
+
+    def subgroup_size(self) -> int:
+        total = self.n + len(self.public_inputs)
+        # the sorted list needs #lookups + table rows + zeros to fit 2m+1
+        need = max(total + NUM_RESERVED_GATES,
+                   self._table_size() + NUM_RESERVED_GATES)
+        return _next_pow2(need)
+
+    def compute_proving_key(self) -> ProvingKey:
+        if self._pk is not None:
+            return self._pk
+        pk = super().compute_proving_key()
+        size = pk.n
+        assert self._table_size() <= size - NUM_RESERVED_GATES, \
+            "table content exceeds circuit capacity"
+
+        # table column polynomials (content rows first, zero padding after —
+        # the same order build_sorted_halves assumes)
+        cols = [[], [], [], []]
+        for idx in sorted(self.tables):
+            for k1, k2, v in self.tables[idx].rows:
+                cols[0].append(k1)
+                cols[1].append(k2)
+                cols[2].append(v)
+                cols[3].append(idx)
+        pad = size - len(cols[0])
+        for i in range(4):
+            cols[i] = cols[i] + [0] * pad
+            pk.add_polynomial("selector", f"table_{i+1}",
+                              ints_to_mont(cols[i]), keep_lagrange=True)
+        # the z_lookup kernel needs these in lagrange form too
+        for name in ("q_lookup", "q_index"):
+            store = pk.selectors[name]
+            if store.lagrange is None:
+                from ..poly import fft_ops as pfft
+
+                store.lagrange = pfft.fft(store.monomial, pk.small_domain)
+        return pk
+
+    def create_prover(self):
+        from .prover import Prover
+
+        pk = self.compute_proving_key()
+        wires, pubvals = self.compute_witness()
+        aux = {"tables": list(self.tables.values()), "lookups": self._lookups}
+        return Prover(pk, wires, pubvals, self._flavor(), aux=aux)
+
+    create_unrolled_prover = create_prover

@@ -17,7 +17,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ff.bn254 import FR_MOD, FR_COSET_GENERATORS
-from .manifests import STANDARD, TURBO, UNROLLED_STANDARD, UNROLLED_TURBO
+from .manifests import (
+    STANDARD, TURBO, UNROLLED_STANDARD, UNROLLED_TURBO, ULTRA,
+)
 from . import kernels
 from .proving_key import fr_mont
 
@@ -305,9 +307,139 @@ class UnrolledTurboFlavor(TurboFlavor):
         return t
 
 
+class UltraFlavor(TurboFlavor):
+    """UltraPlonk: turbo gate set + plookup argument (docs/ULTRA_DESIGN.md;
+    reserved slots polynomial_manifest.hpp:23-46, lookup_tables.md).
+    Unlinearised; the prover hooks commit S_1/S_2 after eta and Z_LOOKUP
+    alongside Z."""
+
+    settings = ULTRA
+    uses_lookups = True
+    num_alphas = 24
+
+    # -- prover hooks ---------------------------------------------------------
+    @staticmethod
+    def after_eta(prover):
+        """Build the sorted-list halves h1/h2 (host), blind, commit S_1/S_2."""
+        import jax.numpy as jnp_
+        from ..poly import fft_ops as pfft
+        from .lookup_tables import build_sorted_halves
+        from .proving_key import ints_to_mont
+
+        eta = prover.transcript.get_challenge_fr("eta")
+        aux = prover.aux
+        n = prover.n
+        m = n - prover.settings.num_roots_cut_out_of_vanishing_polynomial
+        h1, h2 = build_sorted_halves(aux["tables"], aux["lookups"], eta, m)
+        h1 = h1 + [0] * (n - len(h1))
+        h2 = h2 + [0] * (n - len(h2))
+        for name, vals in (("s_1", h1), ("s_2", h2)):
+            lag = prover._blind(ints_to_mont(vals), 3, n - 3)
+            prover.wires_lagrange[name] = lag
+            prover.wire_mono[name] = pfft.ifft(lag, prover.key.small_domain)
+        prover._commit(prover.wire_mono["s_1"], "S_1")
+        prover._commit(prover.wire_mono["s_2"], "S_2")
+
+    @staticmethod
+    def third_round_extra(prover):
+        """Z_LOOKUP grand product + commitment + the extra coset FFTs."""
+        import jax.numpy as jnp_
+        from ..poly import fft_ops as pfft
+        from .proving_key import fr_mont as _fm
+
+        key = prover.key
+        n = prover.n
+        eta = _fm(prover.transcript.get_challenge_fr("eta"))[:, None]
+        beta = _fm(prover._challenge("beta", 0))[:, None]
+        gamma = _fm(prover._challenge("beta", 1))[:, None]
+        wires = jnp_.stack(
+            [prover.wires_lagrange[f"w_{i}"] for i in range(1, 4)], axis=1
+        )
+        tables = jnp_.stack(
+            [key.selectors[f"table_{i}"].lagrange for i in range(1, 5)], axis=1
+        )
+        randoms = jnp_.stack([_fm(prover.rng()) for _ in range(3)], axis=1)
+        zl = kernels.lookup_grand_product(
+            wires, key.selectors["q_lookup"].lagrange,
+            key.selectors["q_index"].lagrange, tables,
+            prover.wires_lagrange["s_1"], prover.wires_lagrange["s_2"],
+            eta, beta, gamma, randoms, n,
+        )
+        zl_mono = pfft.ifft(zl, key.small_domain)
+        prover.wire_mono["z_lookup"] = zl_mono
+        prover._commit(zl_mono, "Z_LOOKUP")
+        for tag in ("s_1", "s_2", "z_lookup"):
+            prover.wire_fft[tag] = pfft.coset_fft(
+                key._extend(prover.wire_mono[tag]), key.large_domain
+            )
+
+    # -- quotient -------------------------------------------------------------
+    @classmethod
+    def quotient_evals(cls, pk, wire_fft, ch_mont, n):
+        wffts = jnp.stack([wire_fft[f"w_{i}"] for i in range(1, 5)], axis=1)
+        sffts = jnp.stack(
+            [pk.sigmas[f"sigma_{i}"].fft for i in range(1, 5)], axis=1
+        )
+        qffts = jnp.stack(
+            [pk.selectors[q].fft for q in cls.SELECTOR_ORDER], axis=1
+        )
+        tffts = jnp.stack(
+            [pk.selectors[f"table_{i}"].fft for i in range(1, 5)], axis=1
+        )
+        return kernels.ultra_quotient(
+            wffts, sffts, wire_fft["z"], qffts, tffts,
+            pk.selectors["q_lookup"].fft, pk.selectors["q_index"].fft,
+            wire_fft["s_1"], wire_fft["s_2"], wire_fft["z_lookup"],
+            pk.l1_fft, pk.coset_pts, pk.vanish_scale, ch_mont["alphas"],
+            ch_mont["eta"], ch_mont["beta"], ch_mont["gamma"],
+            ch_mont["delta"], n,
+        )
+
+    # -- verifier -------------------------------------------------------------
+    @staticmethod
+    def _lookup_t_terms(ev, ch, l_start, l_end):
+        eta, beta, gamma, alpha = ch["eta"], ch["beta"], ch["gamma"], ch["alpha"]
+        ap = [pow(alpha, k, M) for k in range(24)]
+        F = (
+            ev["q_lookup"]
+            * ((ev["w_1"] + eta * (ev["w_2"] + eta * (ev["w_3"]
+               + eta * ev["q_index"]))) % M)
+        ) % M
+        T = (ev["table_1"] + eta * (ev["table_2"] + eta * (ev["table_3"]
+             + eta * ev["table_4"]))) % M
+        Tw = (ev["table_1_omega"] + eta * (ev["table_2_omega"]
+              + eta * (ev["table_3_omega"] + eta * ev["table_4_omega"]))) % M
+        one_p_beta = (1 + beta) % M
+        gamma_pb = gamma * one_p_beta % M
+        num = (
+            one_p_beta * ((gamma + F) % M) % M
+            * ((T + beta * Tw + gamma_pb) % M) % M * ev["z_lookup"]
+        ) % M
+        den = (
+            (ev["s_1"] + beta * ev["s_2"] + gamma_pb) % M
+            * ((ev["s_2"] + beta * ev["s_1_omega"] + gamma_pb) % M) % M
+            * ev["z_lookup_omega"]
+        ) % M
+        t = (num - den) * ap[21] % M
+        t = (t + (ev["z_lookup"] - 1) * l_start % M * ap[22]) % M
+        t = (t + (ev["z_lookup_omega"] - 1) * l_end % M * ap[23]) % M
+        return t
+
+    @classmethod
+    def verifier_t_contribution(cls, ev, ch, l_start, l_end, delta):
+        t = _perm_t_contribution(ev, ch, l_start, l_end, delta, 4,
+                                 use_linearisation=False)
+        t = (t + TurboFlavor._nonlinear_t_terms(ev, ch)) % M
+        for sel, scalar in cls.selector_linear_scalars(ev, ch).items():
+            t = (t + scalar * ev[sel]) % M
+        t = (t + cls._lookup_t_terms(ev, ch, l_start, l_end)) % M
+        return t
+
+
 FLAVORS = {
     "standard": StandardFlavor,
     "turbo": TurboFlavor,
     "unrolled_standard": UnrolledStandardFlavor,
     "unrolled_turbo": UnrolledTurboFlavor,
+    "ultra": UltraFlavor,
 }

@@ -174,8 +174,7 @@ def _x4(x):
     return _dbl2(_dbl2(x))
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def turbo_quotient(
+def _turbo_terms(
     wffts,          # (L, 4, 4n)
     sffts,          # (L, 4, 4n)
     zfft,           # (L, 4n)
@@ -183,7 +182,7 @@ def turbo_quotient(
     l1fft,
     coset_pts,
     vanish_scale,
-    alphas,         # (L, 21): powers alpha^1..alpha^21
+    alphas,         # (L, >=21): powers alpha^1..
     beta,
     gamma,
     delta,
@@ -334,6 +333,138 @@ def turbo_quotient(
     return _mul(total, vanish_scale)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def turbo_quotient(wffts, sffts, zfft, qffts, l1fft, coset_pts, vanish_scale,
+                   alphas, beta, gamma, delta, n: int):
+    return _turbo_terms(wffts, sffts, zfft, qffts, l1fft, coset_pts,
+                        vanish_scale, alphas, beta, gamma, delta, n)
+
+
+def _compress4(a, b, c, d, eta):
+    """a + eta b + eta^2 c + eta^3 d via Horner (Montgomery planes)."""
+    return _add(a, _mul(eta, _add(b, _mul(eta, _add(c, _mul(eta, d))))))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def lookup_grand_product(wires, q_lookup, q_index, tables, h1, h2, eta, beta,
+                         gamma, randoms, n: int):
+    """Plookup grand product Z_LOOKUP(X) in lagrange form, blinded.
+
+    Per enforced row i (docs/ULTRA_DESIGN.md; plookup paper eq. 5 with the
+    sorted list stored as even/odd halves h1/h2 so both pair products are
+    row-local):
+
+      z_{i+1}/z_i = (1+b)(g + F_i)(g(1+b) + T_i + b T_{i+1})
+                    / [(g(1+b) + h1_i + b h2_i)(g(1+b) + h2_i + b h1_{i+1})]
+
+    F = q_lookup * (w1 + eta w2 + eta^2 w3 + eta^3 q_index);
+    T = t1 + eta t2 + eta^2 t3 + eta^3 t4.  Same scan + single-inversion
+    structure as the permutation grand_product.
+
+    wires: (L, >=3, n) lagrange stack; tables: (L, 4, n); h1/h2: (L, n);
+    eta/beta/gamma: (L, 1); randoms: (L, 3).
+    """
+    one = _c(1)
+    F = _mul(q_lookup,
+             _compress4(wires[:, 0], wires[:, 1], wires[:, 2], q_index, eta))
+    T = _compress4(tables[:, 0], tables[:, 1], tables[:, 2], tables[:, 3], eta)
+    Tw = jnp.roll(T, -1, axis=1)
+    h1w = jnp.roll(h1, -1, axis=1)
+
+    one_p_beta = _add(beta, one)
+    gamma_pb = _mul(gamma, one_p_beta)
+    num = _mul(
+        _mul(jnp.broadcast_to(one_p_beta, F.shape), _add(gamma, F)),
+        _add(_add(T, _mul(beta, Tw)), gamma_pb),
+    )
+    den = _mul(
+        _add(_add(h1, _mul(beta, h2)), gamma_pb),
+        _add(_add(h2, _mul(beta, h1w)), gamma_pb),
+    )
+
+    prefix_num = lax.associative_scan(_mul, num, axis=1)
+    suffix_den = lax.associative_scan(_mul, den, axis=1, reverse=True)
+    inv_total = limb.inv_mont(suffix_den[:, :1], FR)
+
+    one_col = jnp.broadcast_to(_c(1), (FR.nlimbs, 1))
+    zrest = _mul(_mul(prefix_num[:, : n - 1], suffix_den[:, 1:]), inv_total)
+    z = jnp.concatenate([one_col, zrest], axis=1)
+    z = lax.dynamic_update_slice(z, randoms, (0, n - 4 + 1))
+    return z
+
+
+def _lookup_quotient(wffts, qlfft, qifft, tffts, s1fft, s2fft, zlfft, l1fft,
+                     eta, beta, gamma, a):
+    """Plookup quotient terms over the 4n coset (alpha^21..23).
+
+    (num - den) ranges over the identity rows (killed by Z*_H elsewhere);
+    L_1 (z_lookup - 1) and L_end (z_lookup(Xw) - 1) pin the boundaries.
+    One row shift in the n-domain = roll by 4 on the 4n coset grid.
+    """
+    one = _c(1)
+    F = _mul(qlfft, _compress4(wffts[:, 0], wffts[:, 1], wffts[:, 2],
+                               qifft, eta))
+    T = _compress4(tffts[:, 0], tffts[:, 1], tffts[:, 2], tffts[:, 3], eta)
+    Tw = jnp.roll(T, -4, axis=1)
+    s1w = jnp.roll(s1fft, -4, axis=1)
+    zlw = jnp.roll(zlfft, -4, axis=1)
+
+    one_p_beta = _add(beta, one)
+    gamma_pb = _mul(gamma, one_p_beta)
+    num = _mul(
+        _mul(jnp.broadcast_to(one_p_beta, F.shape), _add(gamma, F)),
+        _add(_add(T, _mul(beta, Tw)), gamma_pb),
+    )
+    num = _mul(num, zlfft)
+    den = _mul(
+        _add(_add(s1fft, _mul(beta, s2fft)), gamma_pb),
+        _add(_add(s2fft, _mul(beta, s1w)), gamma_pb),
+    )
+    den = _mul(den, zlw)
+
+    onep = jnp.broadcast_to(one, zlfft.shape)
+    t = _mul(_sub(num, den), a(21))
+    t = _add(t, _mul(_mul(_sub(zlfft, onep), l1fft), a(22)))
+    l_end = jnp.roll(l1fft, -(4 + 4 * 4), axis=1)
+    t = _add(t, _mul(_mul(_sub(zlw, onep), l_end), a(23)))
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def ultra_quotient(
+    wffts,          # (L, 4, 4n)
+    sffts,          # (L, 4, 4n)
+    zfft,           # (L, 4n)
+    qffts,          # (L, 11, 4n): turbo selector order
+    tffts,          # (L, 4, 4n) table column coset ffts
+    qlfft,          # (L, 4n) q_lookup
+    qifft,          # (L, 4n) q_index
+    s1fft,          # (L, 4n)
+    s2fft,          # (L, 4n)
+    zlfft,          # (L, 4n) z_lookup
+    l1fft,
+    coset_pts,
+    vanish_scale,
+    alphas,         # (L, 24): powers alpha^1..alpha^24
+    eta,
+    beta,
+    gamma,
+    delta,
+    n: int,
+):
+    """Fused UltraPlonk quotient: all turbo widget terms + the plookup
+    argument in one elementwise pass over the 4n coset."""
+    turbo = _turbo_terms(
+        wffts, sffts, zfft, qffts, l1fft, coset_pts,
+        jnp.broadcast_to(_c(1), vanish_scale.shape),  # defer the divide
+        alphas, beta, gamma, delta, n,
+    )
+    a = lambda p: alphas[:, p - 1 : p]
+    lk = _lookup_quotient(wffts, qlfft, qifft, tffts, s1fft, s2fft, zlfft,
+                          l1fft, eta, beta, gamma, a)
+    return _mul(_add(turbo, lk), vanish_scale)
+
+
 @jax.jit
 def linear_combination(stack, scalars):
     """sum_k scalars[:,k] * stack[:,k,:] -> (L, n).
@@ -353,18 +484,22 @@ def sigma_from_mapping(next_row, factor_idx, omega_pows, n: int):
     """sigma lagrange values: omega^{next_row} * factor[factor_idx].
 
     next_row, factor_idx: (n,) int32; factors are the static coset encoding
-    constants [1, k1, k2, k_external] (ref: utils/permutation.hpp — column 0
-    -> 1, column j>0 -> coset_generator(j-1), public input -> external).
+    constants [1, k1, k2, k3, k_external] (ref: utils/permutation.hpp —
+    column 0 -> 1, column j>0 -> coset_generator(j-1), public input ->
+    external_coset_generator = coset_generators[7]).  Index 4 is the
+    external tag: width-4 column 3 MUST get coset_generator(2), not the
+    external generator (a width-3-only table hid that collision in r1).
     """
     factors = jnp.concatenate(
         [
             _c(1),
             _c(FR_COSET_GENERATORS[0]),
             _c(FR_COSET_GENERATORS[1]),
+            _c(FR_COSET_GENERATORS[2]),
             _c(FR_COSET_GENERATORS[7]),
         ],
         axis=1,
-    )  # (L, 4)
+    )  # (L, 5)
     root = jnp.take(omega_pows, next_row, axis=1)
     f = jnp.take(factors, factor_idx, axis=1)
     return _mul(root, f)

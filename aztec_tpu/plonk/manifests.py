@@ -226,6 +226,103 @@ def turbo_unrolled_manifest(num_public_inputs: int) -> Manifest:
     return Manifest(rounds=tuple(rounds))
 
 
+def ultra_manifest(num_public_inputs: int) -> Manifest:
+    """UltraPlonk (plookup) Fiat-Shamir manifest.
+
+    The reference snapshot reserves the plookup polynomial slots but ships
+    no ultra composer (SURVEY.md §0), so there is no literal to mirror; this
+    ordering follows the protocol requirements: wires commit BEFORE eta
+    (eta compresses the lookup tuple), the sorted-list halves S_1/S_2 commit
+    before beta/gamma (they depend on eta), and both grand products Z /
+    Z_LOOKUP commit before alpha.
+    """
+    pub = FR_SIZE * num_public_inputs
+    evals = []
+    # one nu sub-challenge per polynomial; shifted evals share the index
+    for i, (name, idx) in enumerate(
+        [("w_1", 0), ("w_2", 1), ("w_3", 2), ("w_4", 3),
+         ("sigma_1", 4), ("sigma_2", 5), ("sigma_3", 6), ("sigma_4", 7),
+         ("q_1", 8), ("q_2", 9), ("q_3", 10), ("q_4", 11), ("q_5", 12),
+         ("q_m", 13), ("q_c", 14), ("q_arith", 15), ("q_logic", 16),
+         ("q_range", 17), ("q_ecc_1", 18),
+         ("table_1", 19), ("table_2", 20), ("table_3", 21), ("table_4", 22),
+         ("q_lookup", 23), ("q_index", 24),
+         ("s_1", 25), ("s_2", 26),
+         ("z", 27), ("z_lookup", 28)]
+    ):
+        evals.append(E(name, FR_SIZE, False, idx))
+    shifted = [("z_omega", 27), ("w_1_omega", 0), ("w_2_omega", 1),
+               ("w_3_omega", 2), ("w_4_omega", 3),
+               ("table_1_omega", 19), ("table_2_omega", 20),
+               ("table_3_omega", 21), ("table_4_omega", 22),
+               ("s_1_omega", 25), ("z_lookup_omega", 28)]
+    for name, idx in shifted:
+        evals.append(E(name, FR_SIZE, False, idx))
+    return Manifest(
+        rounds=(
+            RM(
+                elements=(
+                    E("circuit_size", 4, True),
+                    E("public_input_size", 4, True),
+                ),
+                challenge="init",
+                num_challenges=1,
+            ),
+            RM(
+                elements=(
+                    E("public_inputs", pub, False),
+                    E("W_1", G1_SIZE, False),
+                    E("W_2", G1_SIZE, False),
+                    E("W_3", G1_SIZE, False),
+                    E("W_4", G1_SIZE, False),
+                ),
+                challenge="eta",
+                num_challenges=1,
+            ),
+            RM(
+                elements=(
+                    E("S_1", G1_SIZE, False),
+                    E("S_2", G1_SIZE, False),
+                ),
+                challenge="beta",
+                num_challenges=2,
+            ),
+            RM(
+                elements=(
+                    E("Z", G1_SIZE, False),
+                    E("Z_LOOKUP", G1_SIZE, False),
+                ),
+                challenge="alpha",
+                num_challenges=1,
+            ),
+            RM(
+                elements=(
+                    E("T_1", G1_SIZE, False),
+                    E("T_2", G1_SIZE, False),
+                    E("T_3", G1_SIZE, False),
+                    E("T_4", G1_SIZE, False),
+                ),
+                challenge="z",
+                num_challenges=1,
+            ),
+            RM(
+                elements=tuple([E("t", FR_SIZE, True, -1)] + evals),
+                challenge="nu",
+                num_challenges=29,
+                map_challenges=True,
+            ),
+            RM(
+                elements=(
+                    E("PI_Z", G1_SIZE, False),
+                    E("PI_Z_OMEGA", G1_SIZE, False),
+                ),
+                challenge="separator",
+                num_challenges=1,
+            ),
+        )
+    )
+
+
 # ---- polynomial manifest ----------------------------------------------------
 
 WITNESS, SELECTOR, PERMUTATION = "witness", "selector", "permutation"
@@ -278,6 +375,24 @@ TURBO_POLYNOMIAL_MANIFEST = (
     PolyDescriptor("SIGMA_2", "sigma_2", False, False, PERMUTATION),
     PolyDescriptor("SIGMA_3", "sigma_3", False, False, PERMUTATION),
     PolyDescriptor("SIGMA_4", "sigma_4", True, False, PERMUTATION),
+)
+
+
+# UltraPlonk: the turbo polynomials + the reserved plookup slots
+# (ref: polynomial_manifest.hpp:23-46 TABLE_1..4/TABLE_INDEX/TABLE_TYPE/S/
+# Z_LOOKUP; proving_key.hpp:38-42 LookupType; lookup_tables.md).  The sorted
+# list s is stored as its even/odd interleave halves s_1/s_2 so the plookup
+# pair products stay row-local with a single shift (docs/ULTRA_DESIGN.md).
+ULTRA_POLYNOMIAL_MANIFEST = TURBO_POLYNOMIAL_MANIFEST + (
+    PolyDescriptor("TABLE_1", "table_1", False, True, SELECTOR),
+    PolyDescriptor("TABLE_2", "table_2", False, True, SELECTOR),
+    PolyDescriptor("TABLE_3", "table_3", False, True, SELECTOR),
+    PolyDescriptor("TABLE_4", "table_4", False, True, SELECTOR),
+    PolyDescriptor("Q_LOOKUP_SELECTOR", "q_lookup", False, False, SELECTOR),
+    PolyDescriptor("Q_LOOKUP_INDEX", "q_index", False, False, SELECTOR),
+    PolyDescriptor("S_1", "s_1", False, True, WITNESS),
+    PolyDescriptor("S_2", "s_2", False, False, WITNESS),
+    PolyDescriptor("Z_LOOKUP", "z_lookup", False, True, WITNESS),
 )
 
 
@@ -337,7 +452,22 @@ class UnrolledTurboSettings(TurboSettings):
         return turbo_unrolled_manifest(num_public_inputs)
 
 
+@dataclasses.dataclass(frozen=True)
+class UltraSettings(TurboSettings):
+    """UltraPlonk / plookup: turbo gate set + lookup argument.  Unlinearised
+    (every polynomial is evaluated in the clear), Keccak transcript for
+    on-chain compatibility."""
+
+    name: str = "ultra"
+    use_linearisation: bool = False
+    polynomial_manifest: tuple = ULTRA_POLYNOMIAL_MANIFEST
+
+    def create_manifest(self, num_public_inputs: int) -> Manifest:
+        return ultra_manifest(num_public_inputs)
+
+
 STANDARD = StandardSettings()
 TURBO = TurboSettings()
 UNROLLED_STANDARD = UnrolledStandardSettings()
 UNROLLED_TURBO = UnrolledTurboSettings()
+ULTRA = UltraSettings()

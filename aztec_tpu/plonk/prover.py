@@ -52,9 +52,10 @@ def default_rng():
 
 class Prover:
     def __init__(self, key: ProvingKey, wires: Dict[str, jnp.ndarray],
-                 public_values: List[int], flavor, rng=None):
+                 public_values: List[int], flavor, rng=None, aux=None):
         self.key = key
         self.flavor = flavor
+        self.aux = aux or {}  # flavor-specific data (e.g. plookup witness)
         self.settings = flavor.settings
         self.width = flavor.width
         self.wires_lagrange = wires       # name -> (L, n) Montgomery
@@ -120,6 +121,9 @@ class Prover:
 
     def execute_second_round(self):
         self.transcript.apply_fiat_shamir("eta")
+        if hasattr(self.flavor, "after_eta"):
+            # plookup: sorted-list construction + S commitments (eta-bound)
+            self.flavor.after_eta(self)
 
     def execute_third_round(self):
         """ref: prover.cpp:239-273 + permutation_widget_impl.hpp:47-314."""
@@ -144,6 +148,8 @@ class Prover:
         z_mono = pfft.ifft(z_lag, self.key.small_domain)
         self.wire_mono["z"] = z_mono
         self._commit(z_mono, "Z")
+        if hasattr(self.flavor, "third_round_extra"):
+            self.flavor.third_round_extra(self)
 
         for tag in [f"w_{i}" for i in range(1, self.width + 1)] + ["z"]:
             self.wire_fft[tag] = pfft.coset_fft(
@@ -160,15 +166,19 @@ class Prover:
         delta = compute_public_input_delta(
             self.public_values, beta_i, gamma_i, self.key.small_domain.root
         )
+        num_alphas = getattr(self.flavor, "num_alphas", 21)
         ch_mont = {
             "alpha": fr_mont(alpha)[:, None],
             "alphas": jnp.stack(
-                [fr_mont(pow(alpha, k, M)) for k in range(1, 22)], axis=1
+                [fr_mont(pow(alpha, k, M)) for k in range(1, num_alphas + 1)],
+                axis=1,
             ),
             "beta": fr_mont(beta_i)[:, None],
             "gamma": fr_mont(gamma_i)[:, None],
             "delta": fr_mont(delta)[:, None],
         }
+        if getattr(self.flavor, "uses_lookups", False):
+            ch_mont["eta"] = fr_mont(self._challenge("eta"))[:, None]
         quotient_evals = self.flavor.quotient_evals(
             self.key, self.wire_fft, ch_mont, self.n
         )
@@ -315,81 +325,10 @@ class Prover:
         w_zeta_omega = kate_divide(shifted, zeta_omega)
         self._commit(w_zeta_omega, "PI_Z_OMEGA")
 
-    def _prewarm(self):
-        """Materialize late-round jit shapes up front (XLA:CPU workaround).
-
-        XLA:CPU in this jaxlib sporadically SIGSEGVs when materializing a
-        NEW executable (fresh compile or AOT cache load) late in a process
-        that has already built ~20 executables; the identical executable
-        materializes fine while the process is young.  The prover's round
-        5/6 kernels (evaluation stacks, linearisation/opening combinations,
-        Kate division) introduce fresh shape keys at exactly that late
-        point, so touch every one of them here with zero-valued dummies.
-        No-op on TPU (and disableable with AZTEC_NO_PREWARM=1).
-        """
-        import os as _os
-
-        import jax
-
-        if jax.default_backend() != "cpu" or _os.environ.get(
-            "AZTEC_NO_PREWARM"
-        ):
-            return
-        s = self.settings
-        n = self.n
-        L = self.key.sigmas[f"sigma_{self.width}"].monomial.shape[0]
-        zero = jnp.zeros((L, n), jnp.uint32)
-
-        k_zeta = k_shift = 0
-        for info in s.polynomial_manifest:
-            if not info.is_linearised or not s.use_linearisation:
-                k_zeta += 1
-            if info.requires_shifted_evaluation:
-                k_shift += 1
-        k_open = self.width + k_zeta + (1 if s.use_linearisation else 0)
-        k_lin = 0
-        if s.use_linearisation:
-            zero_ev: Dict[str, int] = {}
-            for info in s.polynomial_manifest:
-                zero_ev[info.polynomial_label] = 1
-                zero_ev[info.polynomial_label + "_omega"] = 1
-            ch = {"alpha": 1, "beta": 1, "gamma": 1, "zeta": 1}
-            k_lin = 2 + len(self.flavor.selector_linear_scalars(zero_ev, ch))
-
-        # the fused quotient is the biggest executable and its cache entry
-        # never persists (serialize SIGSEGVs on modules this large), so it
-        # recompiles every process — do it first, while young.
-        zero4 = jnp.zeros((L, 4 * n), jnp.uint32)
-        wf = {f"w_{i}": zero4 for i in range(1, self.width + 1)}
-        wf["z"] = zero4
-        one = fr_mont(1)[:, None]
-        ch_mont = {
-            "alpha": one,
-            "alphas": jnp.stack([fr_mont(1)] * 21, axis=1),
-            "beta": one,
-            "gamma": one,
-            "delta": one,
-        }
-        qe = self.flavor.quotient_evals(self.key, wf, ch_mont, n)
-        pfft.coset_ifft(qe, self.key.large_domain).block_until_ready()
-
-        zp_n = powers_table(fr_mont(2), n, FR)
-        zp_4n = powers_table(fr_mont(2), 4 * n, FR)
-        for k in sorted({k_zeta, k_shift, k_open, k_lin, 1} - {0}):
-            st = jnp.stack([zero] * k, axis=1)
-            sc = jnp.stack([fr_mont(0)] * k, axis=1)
-            kernels.linear_combination(st, sc).block_until_ready()
-            self._eval_many(st, zp_n)
-        self._eval_many(
-            jnp.zeros((L, 1, 4 * n), jnp.uint32), zp_4n
-        )
-        adj = zero.at[:, 0].set(
-            limb.sub_mod(zero[:, :1], fr_mont(0)[:, None], FR)[:, 0]
-        )
-        kate_divide(adj, 2).block_until_ready()
-
     def construct_proof(self) -> bytes:
-        self._prewarm()
+        from ..utils.cpu_warm import prewarm_prover
+
+        prewarm_prover(self)  # no-op outside the XLA:CPU test environment
         self.execute_preamble_round()
         self.execute_first_round()
         self.execute_second_round()

@@ -35,6 +35,12 @@ def g1_from_bytes(b: bytes):
         return None
     y = int.from_bytes(b[0:32], "big")
     x = int.from_bytes(b[32:64], "big")
+    # reject non-canonical encodings (coordinate >= p): otherwise y and
+    # y + p are two valid byte strings for the same point (ADVICE r1)
+    from ..ff.bn254 import FQ_MOD
+
+    if x >= FQ_MOD or y >= FQ_MOD:
+        return None
     return (x, y)
 
 

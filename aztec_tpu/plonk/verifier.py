@@ -30,6 +30,16 @@ class Verifier:
         self.settings = flavor.settings
 
     def verify_proof(self, proof: bytes) -> bool:
+        """Reject (never raise) on malformed untrusted proof bytes: length
+        mismatches, non-canonical/off-curve points, zeta on a domain root,
+        missing transcript elements (ADVICE r1: a hostile proof must not
+        crash a verifying service)."""
+        try:
+            return self._verify_proof_checked(proof)
+        except (AssertionError, ValueError, KeyError, IndexError):
+            return False
+
+    def _verify_proof_checked(self, proof: bytes) -> bool:
         key = self.key
         s = self.settings
         width = self.flavor.width
@@ -47,6 +57,8 @@ class Verifier:
             "gamma": t.get_challenge_fr("beta", 1),
             "zeta": t.get_challenge_fr("z"),
         }
+        if getattr(self.flavor, "uses_lookups", False):
+            ch["eta"] = t.get_challenge_fr("eta")
         zeta = ch["zeta"]
         n = key.n
         root = key.domain_root
@@ -125,6 +137,10 @@ class Verifier:
         for i in range(width):
             label = f"T_{i+1}"
             el = g1_from_bytes(t.get_element(label))
+            if el is None or not pr.g1_on_curve(el):
+                # reject malformed quotient commitments outright instead of
+                # silently treating them as the identity (ADVICE r1)
+                return False
             g1_elements[label] = el
             fr_scalars[label] = quotient_challenge * z_power % M
             z_power = z_power * z_pow_n % M
@@ -193,6 +209,8 @@ class Verifier:
             u2 = separator * separator % M
             inner_p0 = (recover(0), recover(4))
             inner_p1 = (recover(8), recover(12))
+            if not (pr.g1_on_curve(inner_p0) and pr.g1_on_curve(inner_p1)):
+                return False
             P0 = pr.g1_add(P0, pr.g1_mul(u2, inner_p0))
             P1 = pr.g1_add(P1, pr.g1_mul(u2, inner_p1))
         # e(P0, [1]_2) * e(P1, [x]_2) == 1

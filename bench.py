@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Headline benchmark: Pippenger MSM throughput at 2^20 points (BN254 G1).
+"""Headline benchmark: Pippenger MSM throughput (BN254 G1), target 2^20 points.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -10,22 +10,93 @@ barretenberg on a contemporary CPU host (~2^20 points in ~0.35 s ≈ 3.0e6
 points/s; derived from the in-repo complexity analysis 2^24 point-adds/MSM at
 ~6 field muls per add on all cores — no published numbers exist, see
 BASELINE.md).
+
+Robustness contract (VERDICT round 1: the bench MUST emit a number):
+- sizes ramp 2^14 -> 2^16 -> 2^18 -> 2^20; the best completed size wins,
+- a watchdog prints the best-so-far line and hard-exits at BENCH_BUDGET_S,
+- SIGTERM/SIGINT (driver timeouts send these before SIGKILL) print the
+  best-so-far line on the way out,
+- the metric name reports the size actually measured — no silent lies.
 """
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
-N_POINTS = int(os.environ.get("BENCH_MSM_N", 1 << 20))
+# keep stderr readable: silence XLA AOT cache-load feature-hint chatter
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
+MAX_LOG2 = int(os.environ.get("BENCH_MSM_MAXLOG2", 20))
+SIZES = [n for n in (14, 16, 18, 20) if n <= MAX_LOG2] or [MAX_LOG2]
 BASELINE_POINTS_PER_S = 3.0e6
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_best = None
+_printed = False
+_lock = threading.Lock()
+
+
+def _emit_and_exit(code=0):
+    global _printed
+    with _lock:
+        if _printed:
+            os._exit(code)
+        _printed = True
+        if _best is None:
+            print(
+                json.dumps(
+                    {
+                        "metric": "msm_bn254_points_per_s",
+                        "value": 0.0,
+                        "unit": "points/s",
+                        "vs_baseline": 0.0,
+                        "note": "no size completed within budget",
+                    }
+                ),
+                flush=True,
+            )
+        else:
+            log2n, pps = _best
+            print(
+                json.dumps(
+                    {
+                        "metric": f"msm_bn254_2pow{log2n}_points_per_s",
+                        "value": round(pps, 1),
+                        "unit": "points/s",
+                        "vs_baseline": round(pps / BASELINE_POINTS_PER_S, 4),
+                    }
+                ),
+                flush=True,
+            )
+    os._exit(code)
+
+
+def _on_term(signum, frame):
+    _emit_and_exit(0)
+
+
+def _watchdog(t0):
+    while True:
+        time.sleep(1.0)
+        if time.time() - t0 > BUDGET_S:
+            _emit_and_exit(0)
+
 
 def main():
+    global _best
+    t0 = time.time()
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    threading.Thread(target=_watchdog, args=(t0,), daemon=True).start()
+
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
     from aztec_tpu.utils import setup_compile_cache
 
@@ -38,46 +109,52 @@ def main():
     from aztec_tpu.numeric.bigint import ints_to_limbs
     from aztec_tpu.ff.bn254 import FR_MOD
 
-    n = N_POINTS
     rng = np.random.default_rng(7)
+    nmax = 1 << max(SIZES)
 
-    # synthesize an SRS-like point set on device: tau^i * G
+    # powers of tau (host ints, ~0.5 s at 2^20) — scalars for an SRS-like
+    # point set tau^i * G synthesized on device by fixed_base_mul
     tau = 0xB0B0CAFE12345678DEADBEEF
     taus = [1]
-    for _ in range(n - 1):
+    for _ in range(nmax - 1):
         taus.append(taus[-1] * tau % FR_MOD)
-    sc_tbl = jax.numpy.asarray(ints_to_limbs(taus))
-    P = fixed_base_mul(sc_tbl, BN254_G1)
-    X, Y, inf = group.to_affine(P, BN254_G1.field)
-    X.block_until_ready()
-
-    scalars = ints_to_limbs(
-        [int.from_bytes(rng.bytes(32), "little") % FR_MOD for _ in range(n)]
+    tau_limbs = ints_to_limbs(taus)
+    scal_limbs = ints_to_limbs(
+        [int.from_bytes(rng.bytes(32), "little") % FR_MOD for _ in range(nmax)]
     )
-    scalars = jax.numpy.asarray(scalars)
 
-    # warm-up (compile)
-    r = msm((X, Y), scalars, BN254_G1)
-    r[0].block_until_ready()
+    for log2n in SIZES:
+        n = 1 << log2n
+        try:
+            sc_tbl = jnp.asarray(tau_limbs[:, :n])
+            P = fixed_base_mul(sc_tbl, BN254_G1)
+            X, Y, inf = group.to_affine(P, BN254_G1.field)
+            X.block_until_ready()
+            scalars = jnp.asarray(scal_limbs[:, :n])
 
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = msm((X, Y), scalars, BN254_G1)
-        r[0].block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+            r = msm((X, Y), scalars, BN254_G1)  # warm-up (compile)
+            r[0].block_until_ready()
 
-    pps = n / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"msm_bn254_2pow{n.bit_length()-1}_points_per_s",
-                "value": round(pps, 1),
-                "unit": "points/s",
-                "vs_baseline": round(pps / BASELINE_POINTS_PER_S, 3),
-            }
-        )
-    )
+            iters = 3 if log2n < 20 else 2
+            t1 = time.perf_counter()
+            for _ in range(iters):
+                r = msm((X, Y), scalars, BN254_G1)
+            r[0].block_until_ready()
+            dt = (time.perf_counter() - t1) / iters
+            pps = n / dt
+            with _lock:
+                if _best is None or pps > _best[1] or log2n > _best[0]:
+                    _best = (log2n, pps)
+            print(
+                f"# 2^{log2n}: {dt*1e3:.1f} ms -> {pps:.3e} points/s "
+                f"(elapsed {time.time()-t0:.0f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+        except Exception as e:  # keep ramping; a bigger size may still fit
+            print(f"# 2^{log2n} failed: {e!r}", file=sys.stderr, flush=True)
+
+    _emit_and_exit(0)
 
 
 if __name__ == "__main__":
