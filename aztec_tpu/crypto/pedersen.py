@@ -137,9 +137,11 @@ def get_generator(index: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _ladder(generator_index: int) -> List[Tuple]:
-    """[(one, three)] * QUAD_LENGTH, MSB-first (ref: pedersen.cpp:115-134)."""
-    acc = get_generator(generator_index)
+def _ladder_from_point(pt: Tuple[int, int]) -> Tuple[Tuple, ...]:
+    """[(one, three)] * QUAD_LENGTH, MSB-first (ref: pedersen.cpp:115-134),
+    built over an arbitrary base point (generators, or grumpkin g1::one
+    for the g1 ladder used by group fixed-base muls)."""
+    acc = pt
     ones = []
     threes = []
     for _ in range(QUAD_LENGTH):
@@ -149,18 +151,26 @@ def _ladder(generator_index: int) -> List[Tuple]:
         acc = g_dbl(acc)
     ones.reverse()
     threes.reverse()
-    return list(zip(ones, threes))
+    return tuple(zip(ones, threes))
+
+
+def _ladder(generator_index: int) -> Tuple[Tuple, ...]:
+    return _ladder_from_point(get_generator(generator_index))
+
+
+def g1_ladder() -> Tuple[Tuple, ...]:
+    """Ladder over grumpkin g1::one (ref: pedersen get_g1_ladder)."""
+    return _ladder_from_point(GRUMPKIN_GEN)
 
 
 @functools.lru_cache(maxsize=None)
-def ladder_selectors(generator_index: int, hash_variant: bool = False):
+def selectors_from_ladder(lad: Tuple[Tuple, ...]):
     """Turbo fixed-base ECC gate selector coefficients per ladder entry
     (ref: pedersen.cpp:135-170): for entry (one=(xb,yb), three=(xg,yg)):
 
         q_x_1 = (xg - xb)/8,  q_x_2 = (9 xb - xg)/8,
         q_y_1 = (3 yb - yg)/d, q_y_2 = (xb yg - 3 xg yb)/d,  d = 3(xb - xg)
     """
-    lad = _hash_ladder(generator_index) if hash_variant else _ladder(generator_index)
     inv8 = pow(8, -1, P)
     out = []
     for (one, three) in lad:
@@ -174,6 +184,11 @@ def ladder_selectors(generator_index: int, hash_variant: bool = False):
         q_y_2 = (xb * yg - 3 * xg * yb) * dinv % P
         out.append((q_x_1, q_x_2, q_y_1, q_y_2))
     return out
+
+
+def ladder_selectors(generator_index: int, hash_variant: bool = False):
+    lad = _hash_ladder(generator_index) if hash_variant else _ladder(generator_index)
+    return selectors_from_ladder(tuple(lad))
 
 
 @functools.lru_cache(maxsize=None)
@@ -231,25 +246,38 @@ def g_mul(k: int, a):
     return acc
 
 
-def fixed_base_scalar_mul(value: int, num_bits: int, generator_index: int = 0):
-    """value * G_idx via the ladder (ref: pedersen.hpp:44-80)."""
+def num_quads_for(num_bits: int) -> int:
+    base = (num_bits - 1) >> 1
+    return base + 1 if (base << 1) + 1 < num_bits else base
+
+
+def _ladder_mul(value: int, num_bits: int, full_ladder, skew_point):
+    """Shared fixed-base ladder walk (ref: group.hpp
+    fixed_base_scalar_mul_internal / pedersen.hpp:44-80)."""
     value %= P
-    num_quads_base = (num_bits - 1) >> 1
-    num_quads = (
-        num_quads_base + 1 if (num_quads_base << 1) + 1 < num_bits else num_quads_base
-    )
-    n = num_quads
-    ladder = _ladder(generator_index)[QUAD_LENGTH - n - 1 :]
+    n = num_quads_for(num_bits)
+    ladder = full_ladder[QUAD_LENGTH - n - 1 :]
     base = value if (value & 1) else (value - 2) % P
-    wnaf, skew = fixed_wnaf(base, (num_quads << 1) + 1, 2)
+    wnaf, skew = fixed_wnaf(base, (n << 1) + 1, 2)
     acc = ladder[0][0]
     if skew:
-        acc = g_add(acc, get_generator(generator_index))
-    for i in range(num_quads):
+        acc = g_add(acc, skew_point)
+    for i in range(n):
         entry = wnaf[i + 1]
         pt = ladder[i + 1][1] if (entry & 0xFFFFFF) == 1 else ladder[i + 1][0]
         acc = g_add(acc, g_neg(pt) if (entry >> 31) & 1 else pt)
     return acc
+
+
+def fixed_base_scalar_mul(value: int, num_bits: int, generator_index: int = 0):
+    """value * G_idx via the ladder (ref: pedersen.hpp:44-80)."""
+    return _ladder_mul(value, num_bits, _ladder(generator_index),
+                       get_generator(generator_index))
+
+
+def fixed_base_scalar_mul_g1(value: int, num_bits: int):
+    """value * grumpkin-g1::one (ref: group.hpp fixed_base_scalar_mul_g1)."""
+    return _ladder_mul(value, num_bits, g1_ladder(), GRUMPKIN_GEN)
 
 
 def hash_single(value: int, hash_index: int):

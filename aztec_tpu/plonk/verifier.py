@@ -39,7 +39,49 @@ class Verifier:
         except (AssertionError, ValueError, KeyError, IndexError):
             return False
 
+    def pairing_inputs(self, proof: bytes):
+        """The two pairing inputs (P0, P1) BEFORE recursive-accumulator
+        folding and the pairing check — the values an in-circuit verifier
+        must reproduce (ref: verifier.hpp recursion_output{P0,P1}).
+        Returns None on malformed proofs."""
+        try:
+            acc = self._accumulate(proof)
+        except (AssertionError, ValueError, KeyError, IndexError):
+            return None
+        if acc is False:
+            return None
+        return acc[0], acc[1]
+
     def _verify_proof_checked(self, proof: bytes) -> bool:
+        acc = self._accumulate(proof)
+        if acc is False:
+            return False
+        P0, P1, public_inputs, separator = acc
+        key = self.key
+        if key.contains_recursive_proof:
+            # fold the inner proof's deferred pairing accumulators, recovered
+            # from 16 public-input limbs of 68 bits (ref: verifier.cpp:173-208)
+            idx = key.recursive_proof_public_input_indices
+            assert idx is not None and len(idx) == 16
+
+            def recover(i0):
+                limb_vals = [public_inputs[idx[i0 + k]] for k in range(4)]
+                return sum(v << (68 * k) for k, v in enumerate(limb_vals))
+
+            u2 = separator * separator % M
+            inner_p0 = (recover(0), recover(4))
+            inner_p1 = (recover(8), recover(12))
+            if not (pr.g1_on_curve(inner_p0) and pr.g1_on_curve(inner_p1)):
+                return False
+            P0 = pr.g1_add(P0, pr.g1_mul(u2, inner_p0))
+            P1 = pr.g1_add(P1, pr.g1_mul(u2, inner_p1))
+        # e(P0, [1]_2) * e(P1, [x]_2) == 1
+        # (ref: verifier.cpp:219 + mem_reference_string.cpp:20-21 line order)
+        from ..curves.tower import G2_GEN
+
+        return pr.pairing_check([(P0, G2_GEN), (P1, self.key.g2_x)])
+
+    def _accumulate(self, proof: bytes):
         key = self.key
         s = self.settings
         width = self.flavor.width
@@ -195,26 +237,4 @@ class Verifier:
         ]
         P0 = pr.g1_msm(pairs)
         P1 = pr.g1_neg(pr.g1_add(pr.g1_mul(separator, PI_Z_OMEGA), PI_Z))
-
-        if key.contains_recursive_proof:
-            # fold the inner proof's deferred pairing accumulators, recovered
-            # from 16 public-input limbs of 68 bits (ref: verifier.cpp:173-208)
-            idx = key.recursive_proof_public_input_indices
-            assert idx is not None and len(idx) == 16
-
-            def recover(i0):
-                limb_vals = [public_inputs[idx[i0 + k]] for k in range(4)]
-                return sum(v << (68 * k) for k, v in enumerate(limb_vals))
-
-            u2 = separator * separator % M
-            inner_p0 = (recover(0), recover(4))
-            inner_p1 = (recover(8), recover(12))
-            if not (pr.g1_on_curve(inner_p0) and pr.g1_on_curve(inner_p1)):
-                return False
-            P0 = pr.g1_add(P0, pr.g1_mul(u2, inner_p0))
-            P1 = pr.g1_add(P1, pr.g1_mul(u2, inner_p1))
-        # e(P0, [1]_2) * e(P1, [x]_2) == 1
-        # (ref: verifier.cpp:219 + mem_reference_string.cpp:20-21 line order)
-        from ..curves.tower import G2_GEN
-
-        return pr.pairing_check([(P0, G2_GEN), (P1, self.key.g2_x)])
+        return P0, P1, public_inputs, separator

@@ -75,7 +75,12 @@ def serve(stdin=None, stdout=None, log=sys.stderr):
             stdout.write(b"\x01" if ok else b"\x00")
             stdout.flush()
         else:
+            # unknown id: we can't know the payload length, so the stream
+            # is unrecoverable — send an empty failed frame then exit; the
+            # HTTP layer's reset() restarts us (halloumi server.ts:46-49)
             print(f"unknown proof_id {proof_id}", file=log, flush=True)
+            stdout.write(struct.pack(">I", 0) + b"\x00")
+            stdout.flush()
             return
 
 

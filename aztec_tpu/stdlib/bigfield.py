@@ -128,6 +128,16 @@ class BigField:
         one = BigField.from_constant(self.ctx, 1)
         return _multiply_add(self, one, [], self.ctx)
 
+    @staticmethod
+    def select(bit: FieldT, a: "BigField", b: "BigField") -> "BigField":
+        """bit ? a : b, limb-wise (bit must already be bool-constrained):
+        r_i = b_i + bit * (a_i - b_i)."""
+        ctx = a.ctx or b.ctx or bit.ctx
+        limbs = [bl + bit * (al - bl) for al, bl in zip(a.limbs, b.limbs)]
+        prime = b.prime + bit * (a.prime - b.prime)
+        maxs = [max(am, bm) for am, bm in zip(a.max_limbs, b.max_limbs)]
+        return BigField(ctx, limbs, prime, maxs)
+
     # -- multiplication -----------------------------------------------------------
     def __mul__(self, other: "BigField") -> "BigField":
         return _multiply_add(self, other, [], self.ctx or other.ctx)

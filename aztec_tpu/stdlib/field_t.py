@@ -191,6 +191,33 @@ class FieldT:
     def is_zero_value(self) -> bool:
         return self.get_value() == 0
 
+    def is_zero(self) -> "BoolT":
+        """In-circuit zero test (ref: stdlib field.cpp is_zero): witness
+        b and inv, constrain x*inv == 1 - b and x*b == 0 — the only
+        satisfying assignments are (x==0, b=1) and (x!=0, b=0, inv=1/x)."""
+        if self.is_constant():
+            return BoolT.constant(self.get_value() == 0)
+        x = self.normalize()
+        v = x.get_value()
+        b = BoolT.from_witness(self.ctx, v == 0)
+        inv = FieldT.from_witness(self.ctx, pow(v, -1, M) if v else 1)
+        (x * inv).assert_equal(FieldT.constant(1) - b.to_field(),
+                               "is_zero: inverse check")
+        (x * b.to_field()).assert_equal(FieldT.constant(0),
+                                        "is_zero: zero product")
+        return b
+
+    def assert_is_not_zero(self, msg: str = "field_t: value is zero"):
+        """Witness the inverse and constrain x * x^{-1} == 1
+        (ref: field.cpp assert_is_not_zero)."""
+        if self.is_constant():
+            assert self.get_value() != 0, msg
+            return
+        x = self.normalize()
+        v = x.get_value()
+        inv = FieldT.from_witness(self.ctx, pow(v, -1, M) if v else 0)
+        (x * inv).assert_equal(FieldT.constant(1), msg)
+
     def set_public(self):
         a = self.normalize()
         a.ctx.set_public_input(a.witness_index)

@@ -7,92 +7,100 @@ The MSM is the reference's #1 prover hot spot (SURVEY.md §2, scalar_
 multiplication.cpp): a 1M-gate proof runs ~9 MSMs of 2^20.  vs_baseline is
 points/s relative to the analytical reference throughput of multithreaded
 barretenberg on a contemporary CPU host (~2^20 points in ~0.35 s ≈ 3.0e6
-points/s; derived from the in-repo complexity analysis 2^24 point-adds/MSM at
-~6 field muls per add on all cores — no published numbers exist, see
+points/s; derived from the in-repo complexity analysis 2^24 point-adds/MSM
+at ~6 field muls per add on all cores — no published numbers exist, see
 BASELINE.md).
 
-Robustness contract (VERDICT round 1: the bench MUST emit a number):
-- sizes ramp 2^14 -> 2^16 -> 2^18 -> 2^20; the best completed size wins,
-- a watchdog prints the best-so-far line and hard-exits at BENCH_BUDGET_S,
-- SIGTERM/SIGINT (driver timeouts send these before SIGKILL) print the
-  best-so-far line on the way out,
-- the metric name reports the size actually measured — no silent lies.
+Robustness contract (VERDICT r1: the bench MUST emit a number):
+
+- supervisor/worker split: the parent process NEVER imports jax, so it
+  stays responsive to SIGTERM and its own deadline even while the worker
+  is wedged inside a GIL-holding XLA compile RPC (observed on the
+  tunneled TPU backend: a worker can ignore SIGTERM for hours) — on
+  budget expiry or SIGTERM the parent kills the worker and emits the
+  best result parsed from the worker's progress lines,
+- sizes ramp 2^14 -> 2^20; the largest completed size wins,
+- generated point sets and XLA executables persist (.bench_cache/,
+  .jax_cache/), so successive runs ratchet toward the full 2^20 result.
 """
 
 import json
 import os
 import signal
+import subprocess
 import sys
-import threading
 import time
-
-# keep stderr readable: silence XLA AOT cache-load feature-hint chatter
-os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
 MAX_LOG2 = int(os.environ.get("BENCH_MSM_MAXLOG2", 20))
-SIZES = [n for n in (14, 16, 18, 20) if n <= MAX_LOG2] or [MAX_LOG2]
+SIZES = [n for n in (14, 20) if n <= MAX_LOG2] or [MAX_LOG2]
 BASELINE_POINTS_PER_S = 3.0e6
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-_best = None
-_printed = False
-_lock = threading.Lock()
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
 
 
-def _emit_and_exit(code=0):
-    global _printed
-    with _lock:
-        if _printed:
-            os._exit(code)
-        _printed = True
-        if _best is None:
-            print(
-                json.dumps(
-                    {
-                        "metric": "msm_bn254_points_per_s",
-                        "value": 0.0,
-                        "unit": "points/s",
-                        "vs_baseline": 0.0,
-                        "note": "no size completed within budget",
-                    }
-                ),
-                flush=True,
-            )
-        else:
-            log2n, pps = _best
-            print(
-                json.dumps(
-                    {
-                        "metric": f"msm_bn254_2pow{log2n}_points_per_s",
-                        "value": round(pps, 1),
-                        "unit": "points/s",
-                        "vs_baseline": round(pps / BASELINE_POINTS_PER_S, 4),
-                    }
-                ),
-                flush=True,
-            )
-    os._exit(code)
+# --------------------------- supervisor ------------------------------------
 
-
-def _on_term(signum, frame):
-    _emit_and_exit(0)
-
-
-def _watchdog(t0):
-    while True:
-        time.sleep(1.0)
-        if time.time() - t0 > BUDGET_S:
-            _emit_and_exit(0)
-
-
-def main():
-    global _best
+def supervise():
     t0 = time.time()
-    signal.signal(signal.SIGTERM, _on_term)
-    signal.signal(signal.SIGINT, _on_term)
-    threading.Thread(target=_watchdog, args=(t0,), daemon=True).start()
+    best = None  # (log2n, pps)
+    done = {"v": False}
+
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)],
+        env=dict(os.environ, BENCH_WORKER="1"),
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+    )
+
+    def emit_and_exit(code=0):
+        if not done["v"]:
+            done["v"] = True
+            if best is None:
+                print(json.dumps({
+                    "metric": "msm_bn254_points_per_s",
+                    "value": 0.0,
+                    "unit": "points/s",
+                    "vs_baseline": 0.0,
+                    "note": "no size completed within budget",
+                }), flush=True)
+            else:
+                log2n, pps = best
+                print(json.dumps({
+                    "metric": f"msm_bn254_2pow{log2n}_points_per_s",
+                    "value": round(pps, 1),
+                    "unit": "points/s",
+                    "vs_baseline": round(pps / BASELINE_POINTS_PER_S, 4),
+                }), flush=True)
+        try:
+            proc.kill()
+        except Exception:
+            pass
+        os._exit(code)
+
+    signal.signal(signal.SIGTERM, lambda *a: emit_and_exit(0))
+    signal.signal(signal.SIGINT, lambda *a: emit_and_exit(0))
+    signal.signal(signal.SIGALRM, lambda *a: emit_and_exit(0))
+    signal.alarm(max(int(BUDGET_S), 1))
+
+    # parent blocks on worker output; alarm/SIGTERM break us out
+    for line in proc.stdout:
+        line = line.strip()
+        if line.startswith("#RESULT"):
+            _, k, pps = line.split()
+            k, pps = int(k), float(pps)
+            if best is None or k > best[0]:
+                best = (k, pps)
+            print(f"# 2^{k}: {pps:.3e} points/s "
+                  f"(elapsed {time.time()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+    proc.wait()
+    emit_and_exit(0)
+
+
+# ----------------------------- worker --------------------------------------
+
+def worker():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     import numpy as np
     import jax
@@ -112,8 +120,6 @@ def main():
     rng = np.random.default_rng(7)
     nmax = 1 << max(SIZES)
 
-    # powers of tau (host ints, ~0.5 s at 2^20) — scalars for an SRS-like
-    # point set tau^i * G synthesized on device by fixed_base_mul
     tau = 0xB0B0CAFE12345678DEADBEEF
     taus = [1]
     for _ in range(nmax - 1):
@@ -123,15 +129,42 @@ def main():
         [int.from_bytes(rng.bytes(32), "little") % FR_MOD for _ in range(nmax)]
     )
 
+    def get_points(log2n):
+        """SRS-like affine points (Montgomery planes), disk-cached: the
+        device generation (fixed-base mul + batch normalize) dominates a
+        cold run, so persist it; larger cached sizes serve smaller ones
+        by prefix-slicing (the set is tau^i * G).  Generation runs in
+        2^16-point chunks — at full 2^20 width the (L, L, n) mont_mul
+        outer-product intermediates are ~1 GB each and blow the 16 GB
+        HBM; chunking also reuses one compiled shape for all sizes."""
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        n = 1 << log2n
+        for k in range(log2n, max(SIZES) + 1):
+            f = os.path.join(CACHE_DIR, f"points_2pow{k}.npz")
+            if os.path.exists(f):
+                d = np.load(f)
+                return (jnp.asarray(d["X"][:, :n]), jnp.asarray(d["Y"][:, :n]))
+        chunk = min(n, 1 << 16)
+        xs, ys = [], []
+        for base in range(0, n, chunk):
+            sc_tbl = jnp.asarray(tau_limbs[:, base:base + chunk])
+            P = fixed_base_mul(sc_tbl, BN254_G1)
+            Xc, Yc, inf = group.to_affine(P, BN254_G1.field)
+            xs.append(np.asarray(Xc))
+            ys.append(np.asarray(Yc))
+            print(f"# points chunk {base + chunk}/{n}", file=sys.stderr,
+                  flush=True)
+        Xh = np.concatenate(xs, axis=1)
+        Yh = np.concatenate(ys, axis=1)
+        np.savez(os.path.join(CACHE_DIR, f"points_2pow{log2n}.npz"),
+                 X=Xh, Y=Yh)
+        return jnp.asarray(Xh), jnp.asarray(Yh)
+
     for log2n in SIZES:
         n = 1 << log2n
         try:
-            sc_tbl = jnp.asarray(tau_limbs[:, :n])
-            P = fixed_base_mul(sc_tbl, BN254_G1)
-            X, Y, inf = group.to_affine(P, BN254_G1.field)
-            X.block_until_ready()
+            X, Y = get_points(log2n)
             scalars = jnp.asarray(scal_limbs[:, :n])
-
             r = msm((X, Y), scalars, BN254_G1)  # warm-up (compile)
             r[0].block_until_ready()
 
@@ -141,21 +174,13 @@ def main():
                 r = msm((X, Y), scalars, BN254_G1)
             r[0].block_until_ready()
             dt = (time.perf_counter() - t1) / iters
-            pps = n / dt
-            with _lock:
-                if _best is None or pps > _best[1] or log2n > _best[0]:
-                    _best = (log2n, pps)
-            print(
-                f"# 2^{log2n}: {dt*1e3:.1f} ms -> {pps:.3e} points/s "
-                f"(elapsed {time.time()-t0:.0f}s)",
-                file=sys.stderr,
-                flush=True,
-            )
-        except Exception as e:  # keep ramping; a bigger size may still fit
+            print(f"#RESULT {log2n} {n / dt}", flush=True)
+        except Exception as e:
             print(f"# 2^{log2n} failed: {e!r}", file=sys.stderr, flush=True)
-
-    _emit_and_exit(0)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_WORKER"):
+        worker()
+    else:
+        supervise()

@@ -66,8 +66,10 @@ def test_sigma_mappings_match_python_composer():
     fa = fa.reshape(3, size)
     for col in range(3):
         assert list(nr[col]) == list(py_next[col]), f"col {col} next_row"
-        expect = [3 if x == 3 else x for x in py_factor[col]]
-        got = [3 if x == 255 else x for x in fa[col]]
+        # python tags the external (public-input) coset as width (=4);
+        # the native core uses 255 — normalize both to -1 before comparing.
+        expect = [-1 if x == 4 else x for x in py_factor[col]]
+        got = [-1 if x == 255 else x for x in fa[col]]
         assert got == expect, f"col {col} factor"
 
     # witness export agrees
