@@ -8,7 +8,11 @@ from ..crypto.pedersen import compress_native, compress_buffer_to_field
 
 
 def hash_value_native(value: bytes) -> int:
-    """Pedersen hash of a leaf preimage buffer (ref: hash.hpp:28-36)."""
+    """Pedersen hash of a leaf preimage buffer (ref: hash.hpp:28-36 →
+    crypto/pedersen compress_native(vector<uint8_t>): all-zero buffers
+    hash to the buffer length, pedersen.cpp:358-371)."""
+    if not any(value):
+        return len(value)
     return compress_buffer_to_field(value)
 
 

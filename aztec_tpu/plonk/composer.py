@@ -81,6 +81,18 @@ class ComposerBase:
         self.n = 0
         self.failed = False
         self.err = ""
+        # positions (within public_inputs) of a deferred pairing
+        # accumulator exposed by an in-circuit recursive verifier
+        # (ref: composer_base add_recursive_proof)
+        self.recursive_proof_public_input_indices: Optional[tuple] = None
+
+    def add_recursive_proof(self, public_input_positions) -> None:
+        """Mark this circuit as carrying a recursive-proof accumulator in
+        the given public-input POSITIONS (16 limbs of P0/P1; ref:
+        stdlib recursion_output.add_proof_outputs_as_public_inputs)."""
+        assert len(public_input_positions) == 16
+        self.recursive_proof_public_input_indices = tuple(
+            public_input_positions)
 
     FIRST_IN_CLASS = 0xFFFFFFFF
     REAL_VARIABLE = 0xFFFFFFFE
@@ -329,6 +341,7 @@ class StandardComposer(ComposerBase):
                     pk.sigmas[info.polynomial_label].monomial
                 )
         vsrs = self.crs_factory.get_verifier_srs()
+        rec = self.recursive_proof_public_input_indices
         self._vk = VerificationKey(
             n=pk.n,
             num_public_inputs=pk.num_public_inputs,
@@ -336,6 +349,8 @@ class StandardComposer(ComposerBase):
             domain_root=pk.small_domain.root,
             g2_x=vsrs.g2_x,
             settings=self.settings,
+            contains_recursive_proof=rec is not None,
+            recursive_proof_public_input_indices=rec,
         )
         return self._vk
 
