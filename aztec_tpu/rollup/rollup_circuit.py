@@ -43,6 +43,10 @@ class RollupTx:
     data_roots_root: int
     data_roots_paths: List[HashPath]
     data_roots_indicies: List[int]
+    # wire-format companions (circuit re-derives these from the old paths;
+    # carried for rollup_tx.hpp serialization parity)
+    new_data_path: Optional[HashPath] = None
+    new_null_paths: Optional[List[HashPath]] = None
 
 
 def _uint_gt_const(ctx, a: FieldT, const_i: int, bits: int) -> BoolT:

@@ -23,14 +23,25 @@ class WorldState:
         self.data_tree = SparseTree(MemoryStore(), data_depth, b"d")
         self.null_tree = SparseTree(MemoryStore(), null_depth, b"n")
         self.root_tree = SparseTree(MemoryStore(), root_depth, b"r")
+        self.data_tree_next_index = 0
+        # index of each historic data root in the root tree
+        self._root_index = {}
         # root tree leaf 0 records the genesis data root
         # (ref: world_state.ts syncState / tx_factory genesis)
+        self._root_index[self.data_tree.root] = 0
         self.root_tree.update_element(
             0, self.data_tree.root.to_bytes(32, "big"))
 
+    def find_data_root_index(self, data_root: int) -> int:
+        """Index of a historic data root in the root tree (the falafel
+        world-state-db lookup the sequencer performs per tx)."""
+        return self._root_index[data_root]
+
     # -- data tree ------------------------------------------------------------
     def insert_note(self, index: int, commitment: Tuple[int, int]) -> int:
-        return self.data_tree.update_element(index, leaf_bytes(commitment))
+        root = self.data_tree.update_element(index, leaf_bytes(commitment))
+        self.data_tree_next_index = max(self.data_tree_next_index, index + 1)
+        return root
 
     def data_root(self) -> int:
         return self.data_tree.root
@@ -56,4 +67,5 @@ class WorldState:
         index = rollup_id + 1
         old_path = self.root_tree.get_hash_path(index)
         self.root_tree.update_element(index, data_root.to_bytes(32, "big"))
+        self._root_index[data_root] = index
         return self.root_tree.root, old_path

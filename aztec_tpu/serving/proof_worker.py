@@ -6,11 +6,21 @@ Protocol (all integers big-endian, matching the reference's serialize.hpp):
   client -> worker, repeated: u32 proof_id, then a request body
   worker -> client:           vector<u8> proof (u32 length prefix) + u8 ok
 
-proof_id:
+proof_id (ref: rollup_cli/main.cpp:131-149):
+  0      tx-rollup proof: body = u32 num_txs, then a serialized rollup_tx
+         (rollup/serialize.py wire format) — recursively verifies the tx
+         proofs in the inner rollup circuit and proves it (unrolled turbo)
+  1      root-rollup proof: body = u32 num_txs, u32 num_proofs, then a
+         serialized root_rollup_tx — aggregates inner rollups (standard
+         turbo/Keccak for on-chain verification)
   0x100  standard-PLONK demo proof: body = u32 num_gates (builds the
          benchmark circuit of that size, proves, returns proof bytes)
   0x101  turbo-PLONK demo proof: same body
-  (0 / 1: tx-rollup and root-rollup proofs — pending the recursion stack)
+
+Deviations from rollup_cli: tx bodies are u32-length-prefixed (the
+reference streams them unframed), and proof_id 1 carries the inner-rollup
+VK as u32-prefixed JSON (the reference recomputes it from persisted
+circuit data).
 
 This gives the serving seam (one resident proving key, stream of requests,
 stateless per request — halloumi restarts the worker on reset()) without the
@@ -48,6 +58,69 @@ def _build_demo_circuit(kind: str, num_gates: int):
     return c
 
 
+def _create_tx_rollup(body_stream, log):
+    """proof_id 0 (ref: rollup_cli/main.cpp:31-66): prove an inner rollup
+    over the received tx proofs.  Returns (proof_bytes, verified)."""
+    from ..plonk.composer import TurboComposer
+    from ..rollup.circuit_data import join_split_circuit_data
+    from ..rollup.rollup_circuit import rollup_circuit
+    from ..rollup.serialize import read_rollup_tx
+    from ..srs.reference_string import FakeReferenceStringFactory
+
+    num_txs = struct.unpack(">I", _read_exact(body_stream, 4))[0]
+    body = _read_exact(body_stream,
+                       struct.unpack(">I", _read_exact(body_stream, 4))[0])
+    tx = read_rollup_tx(body)
+    print(f"received tx rollup with {tx.num_txs} txs", file=log, flush=True)
+
+    cd = join_split_circuit_data()
+    # pad to the requested rollup size with noop proofs
+    while len(tx.txs) < num_txs:
+        tx.txs.append(cd.padding_proof)
+
+    composer = TurboComposer(crs_factory=FakeReferenceStringFactory())
+    rollup_circuit(composer, tx, [cd.vk], rollup_size=num_txs)
+    if composer.failed:
+        print(f"rollup circuit failed: {composer.err}", file=log, flush=True)
+        return b"", False
+    proof = composer.create_unrolled_prover().construct_proof()
+    ok = composer.create_unrolled_verifier().verify_proof(proof)
+    return proof, ok
+
+
+def _create_root_rollup(body_stream, log):
+    """proof_id 1 (ref: rollup_cli/main.cpp:68-113)."""
+    from ..plonk.composer import TurboComposer
+    from ..rollup.root_rollup_circuit import root_rollup_circuit
+    from ..rollup.serialize import read_root_rollup_tx
+    from ..srs.reference_string import FakeReferenceStringFactory
+    from ..utils.fixtures import vk_from_json
+
+    _num_txs = struct.unpack(">I", _read_exact(body_stream, 4))[0]
+    num_proofs = struct.unpack(">I", _read_exact(body_stream, 4))[0]
+    # the inner-rollup VK accompanies the request (u32-prefixed JSON; the
+    # reference recomputes it from circuit data instead)
+    vk_json = _read_exact(
+        body_stream, struct.unpack(">I", _read_exact(body_stream, 4))[0])
+    inner_vk = vk_from_json(vk_json.decode())
+    body = _read_exact(body_stream,
+                       struct.unpack(">I", _read_exact(body_stream, 4))[0])
+    tx = read_root_rollup_tx(body)
+    print(f"received root rollup with {len(tx.rollups)} rollups",
+          file=log, flush=True)
+
+    composer = TurboComposer(crs_factory=FakeReferenceStringFactory())
+    root_rollup_circuit(composer, tx, inner_rollup_size=_num_txs,
+                        outer_rollup_size=_num_txs * num_proofs,
+                        inner_verification_key=inner_vk)
+    if composer.failed:
+        print(f"root rollup failed: {composer.err}", file=log, flush=True)
+        return b"", False
+    proof = composer.create_prover().construct_proof()
+    ok = composer.create_verifier().verify_proof(proof)
+    return proof, ok
+
+
 def serve(stdin=None, stdout=None, log=sys.stderr):
     stdin = stdin or sys.stdin.buffer
     stdout = stdout or sys.stdout.buffer
@@ -61,7 +134,20 @@ def serve(stdin=None, stdout=None, log=sys.stderr):
             proof_id = struct.unpack(">I", _read_exact(stdin, 4))[0]
         except EOFError:
             return
-        if proof_id in (0x100, 0x101):
+        if proof_id in (0, 1):
+            try:
+                fn = _create_tx_rollup if proof_id == 0 else _create_root_rollup
+                proof, ok = fn(stdin, log)
+            except EOFError:
+                return
+            except Exception as e:  # reject, keep serving
+                print(f"proof_id {proof_id} error: {e!r}", file=log,
+                      flush=True)
+                proof, ok = b"", False
+            stdout.write(struct.pack(">I", len(proof)) + proof)
+            stdout.write(b"\x01" if ok else b"\x00")
+            stdout.flush()
+        elif proof_id in (0x100, 0x101):
             num_gates = struct.unpack(">I", _read_exact(stdin, 4))[0]
             kind = "standard" if proof_id == 0x100 else "turbo"
             key = (kind, num_gates)
