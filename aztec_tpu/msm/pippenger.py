@@ -49,19 +49,22 @@ class MSMConfig:
     c: int = 16             # window bits; must divide 16
     block: int = 64         # K: serial accumulation depth per rake lane
     bucket_block: int = 64  # K2: serial depth for the bucket-phase rake
+    glv: bool = False       # endomorphism split: half the rounds, 2x points
 
     def rounds(self) -> int:
-        return 256 // self.c
+        return (128 if self.glv else 256) // self.c
 
 
 def default_config(n: int) -> MSMConfig:
     """Bucket-width heuristic (role of the reference's bucket table,
-    runtime_states.hpp:9-57): balance n adds/round vs ~2.5*2^c bucket adds."""
+    runtime_states.hpp:9-57): balance n adds/round vs ~2.5*2^c bucket adds.
+    GLV is on by default (halves doublings + bucket phases; the msm()
+    wrapper silently drops it for curves with no usable endomorphism)."""
     if n >= 1 << 18:
-        return MSMConfig(c=16)
+        return MSMConfig(c=16, glv=True)
     if n >= 1 << 12:
-        return MSMConfig(c=8, bucket_block=16)
-    return MSMConfig(c=4, block=32, bucket_block=4)
+        return MSMConfig(c=8, bucket_block=16, glv=True)
+    return MSMConfig(c=4, block=32, bucket_block=4, glv=True)
 
 
 def _roll(P, shift):
@@ -212,12 +215,12 @@ def _bucket_phase(ops, buckets, nbuckets: int, K2: int):
 
 
 def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
-               return_jacobian: bool = True):
+               return_jacobian: bool = True, nbits: int = 256):
     """Group-generic Pippenger.  pts: tuple of (*, n) arrays (affine);
-    scalars: (16, n) canonical uint32 limb planes.  Width-1 group element
-    (Jacobian by default; ``return_jacobian=False`` keeps the complete
-    projective representation, e.g. for cross-device combines)."""
-    rounds = 256 // c
+    scalars: (nbits/16, n) canonical uint32 limb planes.  Width-1 group
+    element (Jacobian by default; ``return_jacobian=False`` keeps the
+    complete projective representation, e.g. for cross-device combines)."""
+    rounds = nbits // c
     nbuckets = 1 << c
     K = block
     B = n // K
@@ -278,10 +281,17 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("curve", "n", "c", "block", "bucket_block")
+    jax.jit, static_argnames=("curve", "n", "c", "block", "bucket_block", "glv")
 )
-def _msm_jit(X, Y, scalars, curve: CurveSpec, n, c, block, bucket_block):
+def _msm_jit(X, Y, scalars, curve: CurveSpec, n, c, block, bucket_block,
+             glv=False):
     ops = JacobianOps(curve)
+    if glv:
+        from . import glv as glv_mod
+
+        (X, Y), scalars = glv_mod.glv_table((X, Y), scalars, curve)
+        return msm_engine(ops, (X, Y), scalars, 2 * n, c, block, bucket_block,
+                          nbits=128)
     return msm_engine(ops, (X, Y), scalars, n, c, block, bucket_block)
 
 
@@ -294,20 +304,30 @@ def msm(points, scalars, curve: CurveSpec, config: MSMConfig | None = None):
     scalars: (L, n) canonical (non-Montgomery) uint32 limb planes.
     Returns a width-1 Jacobian point tuple.
     """
+    from . import glv as glv_mod
+
     X, Y = points
     n = X.shape[1]
     if config is None:
         config = default_config(n)
+    use_glv = config.glv and glv_mod.glv_params(curve) is not None
     K = config.block
-    pad = (-n) % K
-    if pad or n // K < 2:
-        extra = pad if n // K >= 2 else pad + K
+    # with GLV the engine sees 2n entries; keep 2n a multiple of K with >= 2
+    # rake lanes
+    eff = 2 if use_glv else 1
+    pad = (-(eff * n)) % K
+    if pad or (eff * n) // K < 2:
+        extra = pad if (eff * n) // K >= 2 else pad + K
+        extra = -(-extra // eff)  # pad in table-input units
         Xp = jnp.concatenate([X, jnp.tile(X[:, :1], (1, extra))], axis=1)
         Yp = jnp.concatenate([Y, jnp.tile(Y[:, :1], (1, extra))], axis=1)
         sp = jnp.concatenate(
             [scalars, jnp.zeros((scalars.shape[0], extra), jnp.uint32)], axis=1
         )
         X, Y, scalars, n = Xp, Yp, sp, n + extra
+        if (-(eff * n)) % K:  # odd eff-pad rounding; top up one more K
+            return msm((X, Y), scalars, curve, config)
     return _msm_jit(
-        X, Y, scalars, curve, n, config.c, config.block, config.bucket_block
+        X, Y, scalars, curve, n, config.c, config.block, config.bucket_block,
+        use_glv,
     )

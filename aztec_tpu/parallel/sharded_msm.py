@@ -38,18 +38,27 @@ def sharded_msm(mesh: Mesh, axis: str, points, scalars, curve: CurveSpec,
     n must be divisible by mesh.shape[axis] * block.  Returns a width-1
     Jacobian tuple (replicated).
     """
+    from ..msm import glv as glv_mod
+
     X, Y = points
     n = X.shape[1]
     ndev = mesh.shape[axis]
     if config is None:
         config = default_config(n // ndev)
+    use_glv = config.glv and glv_mod.glv_params(curve) is not None
     ops = JacobianOps(curve)
 
     def local_msm(Xs, Ys, ss):
+        # each device GLV-splits its own shard: no extra communication
+        if use_glv:
+            (Xs, Ys), ss = glv_mod.glv_table((Xs, Ys), ss, curve)
+            nloc, nbits = 2 * n // ndev, 128
+        else:
+            nloc, nbits = n // ndev, 256
         part = msm_engine(
-            ops, (Xs, Ys), ss, n // ndev,
+            ops, (Xs, Ys), ss, nloc,
             config.c, config.block, config.bucket_block,
-            return_jacobian=False,
+            return_jacobian=False, nbits=nbits,
         )
         # gather the per-device partials (complete projective) and fold with
         # ONE width-ndev scan — a single RCB add body in the graph instead

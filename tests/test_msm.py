@@ -112,3 +112,47 @@ def test_msm_ec_c16():
     got = jacobian_to_host(result, BN254_G1)[0]
     expect = g.msm(scalars, pts)
     assert got == expect
+
+
+# ----------------------------- GLV ----------------------------------------
+
+def test_glv_split_device():
+    """Device split satisfies k == s1*k1 + lam*s2*k2 (mod r), |k_i| < 2^128,
+    for random + edge scalars, on both cycle curves."""
+    from aztec_tpu.msm import glv
+    from aztec_tpu.curves.spec import GRUMPKIN_G1
+    from aztec_tpu.numeric.bigint import limbs_to_ints
+
+    for curve in (BN254_G1, GRUMPKIN_G1):
+        P = glv.glv_params(curve)
+        assert P is not None
+        r = curve.order
+        ks = [rng.randrange(r) for _ in range(29)] + [0, 1, r - 1, r // 2]
+        sc = jnp.asarray(ints_to_limbs(ks))
+        k1a, n1, k2a, n2 = glv.glv_split(sc, curve)
+        z = jnp.zeros((8, len(ks)), jnp.uint32)
+        k1v = limbs_to_ints(np.asarray(jnp.concatenate([k1a, z], 0)))
+        k2v = limbs_to_ints(np.asarray(jnp.concatenate([k2a, z], 0)))
+        n1v, n2v = np.asarray(n1), np.asarray(n2)
+        for i, k in enumerate(ks):
+            s1 = -1 if n1v[i] else 1
+            s2 = -1 if n2v[i] else 1
+            assert (s1 * k1v[i] + P["lam"] * s2 * k2v[i] - k) % r == 0
+            assert max(k1v[i], k2v[i]).bit_length() <= 128
+
+
+def test_msm_ec_glv():
+    """GLV path (half rounds, doubled table) matches the straight MSM."""
+    g = golden.BN254
+    n = 64
+    pts, _ = _random_points(n)
+    scalars = [rng.randrange(g.order) for _ in range(n)]
+    scalars[0] = 0
+    scalars[7] = 1
+    X, Y = affine_to_device(pts, BN254_G1)
+    sc = jnp.asarray(ints_to_limbs(scalars))
+    result = msm((X, Y), sc, BN254_G1,
+                 MSMConfig(c=4, block=16, bucket_block=4, glv=True))
+    got = jacobian_to_host(result, BN254_G1)[0]
+    expect = g.msm(scalars, pts)
+    assert got == expect
