@@ -32,6 +32,30 @@ class WorldState:
         self.root_tree.update_element(
             0, self.data_tree.root.to_bytes(32, "big"))
 
+    # -- snapshot / rollback (ref: barretenberg world_state_db commit/
+    # rollback — the sequencer pipeline restores state when a pass fails) --
+    def snapshot(self) -> dict:
+        import copy
+
+        return {
+            "data": dict(self.data_tree.store._data),
+            "null": dict(self.null_tree.store._data),
+            "root": dict(self.root_tree.store._data),
+            "roots": (self.data_tree.root, self.null_tree.root,
+                      self.root_tree.root),
+            "next": self.data_tree_next_index,
+            "ridx": copy.copy(self._root_index),
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.data_tree.store._data = dict(snap["data"])
+        self.null_tree.store._data = dict(snap["null"])
+        self.root_tree.store._data = dict(snap["root"])
+        (self.data_tree.root, self.null_tree.root,
+         self.root_tree.root) = snap["roots"]
+        self.data_tree_next_index = snap["next"]
+        self._root_index = dict(snap["ridx"])
+
     def find_data_root_index(self, data_root: int) -> int:
         """Index of a historic data root in the root tree (the falafel
         world-state-db lookup the sequencer performs per tx)."""
