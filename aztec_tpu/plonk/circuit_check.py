@@ -117,3 +117,22 @@ def check_turbo(composer) -> list:
             t2 = (3 * qcq + 3 * ds - 2 * w_term + t3) % M
             chk("logic_c", qlogic * t2)
     return bad
+
+
+def check_mimc(composer) -> list:
+    """Returns [(row, description)] of violated mimc-composer identities
+    (standard arithmetic + the x^7 gate, mimc_widget.hpp)."""
+    composer._flush_mimc()
+    bad = check_standard(composer)
+    _, _, n, wire = _rows(composer)
+    for i in range(n):
+        if composer.q_mimc_selector[i] == 0:
+            continue
+        k, x_cubed, x_in = wire(0, i), wire(1, i), wire(2, i)
+        x_out = wire(2, i + 1)
+        t0 = (x_in + k + composer.q_mimc_coefficient[i]) % M
+        if (t0 * t0 % M * t0 - x_cubed) % M != 0:
+            bad.append((i, "mimc_cube"))
+        if (x_cubed * x_cubed % M * t0 - x_out) % M != 0:
+            bad.append((i, "mimc_seven"))
+    return sorted(bad)

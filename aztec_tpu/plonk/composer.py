@@ -807,3 +807,120 @@ class UltraComposer(TurboComposer):
         return Prover(pk, wires, pubvals, self._flavor(), aux=aux)
 
     create_unrolled_prover = create_prover
+
+
+class MiMCComposer(StandardComposer):
+    """Standard composer + the MiMC x^7 block-cipher gate
+    (ref: plonk/composer/mimc_composer.cpp).
+
+    A mimc gate at row i encodes one cipher round
+    x_out = (x_in + k + c_i)^7 as: w_1 = k, w_2 = x_cubed, w_3 = x_in,
+    q_mimc_coefficient = c_i, with x_out read from w_3 of row i+1 (the
+    widget's w_3_omega shift) — so consecutive mimc gates chain for free,
+    and a pending x_out is flushed into a noop row whenever a non-mimc
+    gate follows (mimc_composer.cpp:23-116)."""
+
+    def __init__(self, crs_factory=None, settings=None):
+        from .manifests import MIMC
+
+        # set first: the base __init__ seeds constant-0 via the overridden
+        # _push path
+        self.q_mimc_coefficient: List[int] = []
+        self.q_mimc_selector: List[int] = []
+        self.current_output_wire: Optional[int] = None
+        super().__init__(crs_factory, settings or MIMC)
+
+    def _push(self, a, b, c, qm, q1, q2, q3, qc):
+        # any standard gate first flushes a pending mimc output row
+        self._flush_mimc()
+        super()._push(a, b, c, qm, q1, q2, q3, qc)
+        self.q_mimc_coefficient.append(0)
+        self.q_mimc_selector.append(0)
+
+    def _flush_mimc(self):
+        if self.current_output_wire is None:
+            return
+        out = self.current_output_wire
+        self.current_output_wire = None
+        # noop row carrying x_out in w_3 (mimc_composer.cpp:94-116)
+        super()._push(self.zero_idx, self.zero_idx, out, 0, 0, 0, 0, 0)
+        self.q_mimc_coefficient.append(0)
+        self.q_mimc_selector.append(0)
+
+    def create_mimc_gate(self, x_in_idx: int, x_cubed_idx: int, k_idx: int,
+                         x_out_idx: int, mimc_constant: int):
+        if (self.current_output_wire is not None
+                and x_in_idx != self.current_output_wire):
+            self._flush_mimc()
+        self.current_output_wire = None
+        self.w_l.append(k_idx)
+        self.w_r.append(x_cubed_idx)
+        self.w_o.append(x_in_idx)
+        self.q_m.append(0)
+        self.q_1.append(0)
+        self.q_2.append(0)
+        self.q_3.append(0)
+        self.q_c.append(0)
+        self.q_mimc_coefficient.append(mimc_constant % FR_MOD)
+        self.q_mimc_selector.append(1)
+        self.n += 1
+        self.current_output_wire = x_out_idx
+
+    def create_dummy_gates(self):
+        """Non-zero/non-identical selector rows (mimc_composer.cpp:118-155)."""
+        self._flush_mimc()
+        # the base rows go through the overridden _push, which already
+        # zero-pads the mimc selectors
+        super().create_dummy_gates()
+        # q_mimc_selector = 1 row over zero wires (satisfied: next row w_3=0)
+        super()._push(self.zero_idx, self.zero_idx, self.zero_idx,
+                      0, 0, 0, 0, 0)
+        self.q_mimc_coefficient.append(0)
+        self.q_mimc_selector.append(1)
+        super()._push(self.zero_idx, self.zero_idx, self.zero_idx,
+                      0, 0, 0, 0, 0)
+        self.q_mimc_coefficient.append(1)
+        self.q_mimc_selector.append(0)
+
+    def compute_proving_key(self) -> ProvingKey:
+        if self._pk is not None:
+            return self._pk
+        self._flush_mimc()
+        num_pub = len(self.public_inputs)
+        size = self.subgroup_size()
+        srs = self.crs_factory.get_prover_srs(size + 1)
+        pk = ProvingKey(size, num_pub, srs, self.settings)
+        for name, coeffs in (
+            ("q_m", self.q_m), ("q_c", self.q_c), ("q_1", self.q_1),
+            ("q_2", self.q_2), ("q_3", self.q_3),
+            ("q_mimc_coefficient", self.q_mimc_coefficient),
+            ("q_mimc_selector", self.q_mimc_selector),
+        ):
+            padded = (
+                [0] * num_pub + list(coeffs)
+                + [0] * (size - 1 - self.n - num_pub) + [1]
+            )
+            pk.add_polynomial("selector", name, ints_to_mont(padded))
+        next_rows, factor_idx = self.compute_sigma_mappings(size, 3)
+        for i in range(3):
+            lag = kernels.sigma_from_mapping(
+                jnp.asarray(next_rows[i]), jnp.asarray(factor_idx[i]),
+                pk.omega_pows, size,
+            )
+            pk.add_polynomial("permutation", f"sigma_{i+1}", lag,
+                              keep_lagrange=True)
+        self._pk = pk
+        return pk
+
+    def compute_witness(self):
+        self._flush_mimc()
+        return super().compute_witness()
+
+    def _flavor(self):
+        from .flavors import MimcFlavor
+
+        return MimcFlavor
+
+    def _unrolled_flavor(self):
+        raise NotImplementedError("mimc composer has no unrolled settings "
+                                  "(matches the reference)")

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..ff.bn254 import FR_MOD, FR_COSET_GENERATORS
 from .manifests import (
-    STANDARD, TURBO, UNROLLED_STANDARD, UNROLLED_TURBO, ULTRA,
+    STANDARD, TURBO, UNROLLED_STANDARD, UNROLLED_TURBO, ULTRA, MIMC,
 )
 from . import kernels
 from .proving_key import fr_mont
@@ -123,6 +123,44 @@ class StandardFlavor:
     def verifier_t_contribution(ev, ch, l_start, l_end, delta):
         # arithmetic widget adds no non-linear terms under linearisation
         return _perm_t_contribution(ev, ch, l_start, l_end, delta, 3)
+
+
+class MimcFlavor(StandardFlavor):
+    """MiMC composer flavor (ref: mimc_widget.hpp:8-60): standard PLONK
+    plus the x^7 block-cipher gate at alpha^5..6."""
+
+    settings = MIMC
+    width = 3
+
+    @staticmethod
+    def quotient_evals(pk, wire_fft, ch_mont, n):
+        wffts = jnp.stack([wire_fft[f"w_{i}"] for i in range(1, 4)], axis=1)
+        sffts = jnp.stack(
+            [pk.sigmas[f"sigma_{i}"].fft for i in range(1, 4)], axis=1
+        )
+        qffts = jnp.stack(
+            [pk.selectors[q].fft for q in (
+                "q_m", "q_1", "q_2", "q_3", "q_c",
+                "q_mimc_coefficient", "q_mimc_selector")],
+            axis=1,
+        )
+        return kernels.mimc_quotient(
+            wffts, sffts, wire_fft["z"], qffts, pk.l1_fft, pk.coset_pts,
+            pk.vanish_scale, ch_mont["alpha"], ch_mont["beta"],
+            ch_mont["gamma"], ch_mont["delta"], n,
+        )
+
+    @staticmethod
+    def selector_linear_scalars(ev, ch):
+        scalars = StandardFlavor.selector_linear_scalars(ev, ch)
+        al = ch["alpha"]
+        a5 = pow(al, 5, M)
+        a6 = a5 * al % M
+        T0 = (ev["w_1"] + ev["w_3"] + ev["q_mimc_coefficient"]) % M
+        T1 = (T0 * T0 % M * T0 - ev["w_2"]) % M
+        T2 = (ev["w_2"] * ev["w_2"] % M * T0 - ev["w_3_omega"]) % M
+        scalars["q_mimc_selector"] = (T1 * a5 + T2 * a6) % M
+        return scalars
 
 
 class TurboFlavor:

@@ -537,3 +537,89 @@ def vanishing_scale_table(small_n: int, large_root: int, small_root: int,
 
     inv_den = limb.batch_inv_mont(den, FR, axis=1)
     return pts, _mul(num, inv_den)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def mimc_quotient(
+    wffts,          # (L, 3, 4n)
+    sffts,          # (L, 3, 4n)
+    zfft,           # (L, 4n)
+    qffts,          # (L, 7, 4n): qm q1 q2 q3 qc q_mimc_coeff q_mimc_sel
+    l1fft,
+    coset_pts,
+    vanish_scale,
+    alpha,          # (L, 1)
+    beta,
+    gamma,
+    delta,
+    n: int,
+):
+    """Fused MiMC-composer quotient: standard PLONK + the x^7 block-cipher
+    gate (ref: mimc_widget.hpp:8-60 — T0 = w1 + w3 + q_mimc_coeff,
+    T1 = T0^3 - w2, T2 = w2^2*T0 - w3_omega, contribution
+    (T1*alpha^5 + T2*alpha^6)*q_mimc_selector; alpha schedule follows the
+    arithmetic widget at alpha^4)."""
+    w1, w2, w3 = wffts[:, 0], wffts[:, 1], wffts[:, 2]
+    perm = _perm_quotient(wffts, sffts, zfft, l1fft, coset_pts, alpha, beta,
+                          gamma, delta)
+
+    alpha_sqr = _mul(alpha, alpha)
+    alpha_quad = _mul(alpha_sqr, alpha_sqr)
+    arith = _mul(qffts[:, 0], _mul(w1, w2))
+    arith = _add(arith, _mul(qffts[:, 1], w1))
+    arith = _add(arith, _mul(qffts[:, 2], w2))
+    arith = _add(arith, _mul(qffts[:, 3], w3))
+    arith = _add(arith, qffts[:, 4])
+    arith = _mul(arith, alpha_quad)
+
+    a5 = _mul(alpha_quad, alpha)
+    a6 = _mul(a5, alpha)
+    w3w = jnp.roll(w3, -4, axis=1)
+    T0 = _add(_add(w1, w3), qffts[:, 5])
+    T1 = _sub(_mul(_mul(T0, T0), T0), w2)
+    T2 = _sub(_mul(_mul(w2, w2), T0), w3w)
+    mimc = _mul(_add(_mul(T1, a5), _mul(T2, a6)), qffts[:, 6])
+
+    return _mul(_add(_add(perm, arith), mimc), vanish_scale)
+
+
+@jax.jit
+def elliptic_identity(wffts, q_beta, q_beta_sqr, q_sign, q_elliptic,
+                      alpha, alpha2):
+    """EllipticKernel identities (ref: elliptic_widget.hpp:8-80 — the ecc
+    add gate family; defined here for parity even though, as in the
+    reference snapshot, no composer instantiates it).
+
+    wffts: (L, 4, rows) wires in gate layout; shifted access = roll -1 on
+    the row axis ((x_1,y_1) at row i in w_2/w_3, (x_2,y_2) at row i+1 in
+    w_1/w_4, (x_3,y_3) at row i+1 in w_2/w_3).  Returns the combined
+    x/y-identity evaluation rows (zero on satisfied gates)."""
+    w1, w2, w3, w4 = (wffts[:, i] for i in range(4))
+    x_1, y_1 = w2, w3
+    x_2 = jnp.roll(w1, -1, axis=-1)
+    y_2 = jnp.roll(w4, -1, axis=-1)
+    x_3 = jnp.roll(w2, -1, axis=-1)
+    y_3 = jnp.roll(w3, -1, axis=-1)
+
+    zero = jnp.zeros_like(x_2)
+    beta_term = _mul(_sub(zero, _mul(x_2, x_1)),
+                     _add(_add(x_3, x_3), x_1))
+    x2_sqr = _mul(x_2, x_2)
+    beta_sqr_term = _mul(x2_sqr, _sub(x_3, x_1))
+    sign_term = _mul(y_2, y_1)
+    sign_term = _add(sign_term, sign_term)
+    leftovers = _mul(x2_sqr, x_2)
+    leftovers = _add(leftovers, _mul(_mul(x_1, x_1), _add(x_3, x_1)))
+    leftovers = _sub(leftovers, _add(_mul(y_2, y_2), _mul(y_1, y_1)))
+    x_identity = _add(
+        _add(_mul(beta_term, q_beta), _mul(beta_sqr_term, q_beta_sqr)),
+        _add(_mul(sign_term, q_sign), leftovers))
+    x_identity = _mul(x_identity, alpha)
+
+    beta_term = _mul(_mul(x_2, _add(y_3, y_1)), q_beta)
+    sign_term = _sub(zero, _mul(_mul(y_2, _sub(x_1, x_3)), q_sign))
+    leftovers = _sub(_mul(y_1, _sub(x_1, x_3)),
+                     _mul(x_1, _add(y_3, y_1)))
+    y_identity = _mul(_add(_add(beta_term, sign_term), leftovers), alpha2)
+
+    return _mul(_add(x_identity, y_identity), q_elliptic)

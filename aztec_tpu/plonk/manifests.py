@@ -77,6 +77,32 @@ def standard_manifest(num_public_inputs: int) -> Manifest:
     )
 
 
+def mimc_manifest(num_public_inputs: int) -> Manifest:
+    """ref: mimc_composer.hpp:207-246 create_manifest — standard rounds
+    with q_mimc_coefficient opened at nu index 6 and w_3_omega at 0."""
+    pub = FR_SIZE * num_public_inputs
+    base = standard_manifest(num_public_inputs)
+    rounds = list(base.rounds)
+    rounds[5] = RM(
+        elements=(
+            E("t", FR_SIZE, True, -1),
+            E("w_1", FR_SIZE, False, 0),
+            E("w_2", FR_SIZE, False, 1),
+            E("w_3", FR_SIZE, False, 2),
+            E("sigma_1", FR_SIZE, False, 3),
+            E("sigma_2", FR_SIZE, False, 4),
+            E("r", FR_SIZE, False, 5),
+            E("q_mimc_coefficient", FR_SIZE, False, 6),
+            E("z_omega", FR_SIZE, False, -1),
+            E("w_3_omega", FR_SIZE, False, 0),
+        ),
+        challenge="nu",
+        num_challenges=10,
+        map_challenges=True,
+    )
+    return Manifest(rounds=tuple(rounds))
+
+
 def turbo_manifest(num_public_inputs: int) -> Manifest:
     """ref: plonk/composer/turbo_composer.hpp:104-160."""
     pub = FR_SIZE * num_public_inputs
@@ -353,6 +379,27 @@ STANDARD_POLYNOMIAL_MANIFEST = (
 )
 
 
+# ref: polynomial_manifest.hpp:109-124 mimc_polynomial_manifest
+MIMC_POLYNOMIAL_MANIFEST = (
+    PolyDescriptor("W_1", "w_1", False, False, WITNESS),
+    PolyDescriptor("W_2", "w_2", False, False, WITNESS),
+    PolyDescriptor("W_3", "w_3", False, True, WITNESS),
+    PolyDescriptor("Z", "z", True, True, WITNESS),
+    PolyDescriptor("Q_1", "q_1", True, False, SELECTOR),
+    PolyDescriptor("Q_2", "q_2", True, False, SELECTOR),
+    PolyDescriptor("Q_3", "q_3", True, False, SELECTOR),
+    PolyDescriptor("Q_M", "q_m", True, False, SELECTOR),
+    PolyDescriptor("Q_C", "q_c", True, False, SELECTOR),
+    PolyDescriptor("Q_MIMC_COEFFICIENT", "q_mimc_coefficient", False, False,
+                   SELECTOR),
+    PolyDescriptor("Q_MIMC_SELECTOR", "q_mimc_selector", True, False,
+                   SELECTOR),
+    PolyDescriptor("SIGMA_1", "sigma_1", False, False, PERMUTATION),
+    PolyDescriptor("SIGMA_2", "sigma_2", False, False, PERMUTATION),
+    PolyDescriptor("SIGMA_3", "sigma_3", True, False, PERMUTATION),
+)
+
+
 # ref: polynomial_manifest.hpp:126-148 turbo_polynomial_manifest
 TURBO_POLYNOMIAL_MANIFEST = (
     PolyDescriptor("W_1", "w_1", False, True, WITNESS),
@@ -466,8 +513,21 @@ class UltraSettings(TurboSettings):
         return ultra_manifest(num_public_inputs)
 
 
+@dataclasses.dataclass(frozen=True)
+class MimcSettings(StandardSettings):
+    """ref: mimc_composer.hpp — standard width-3 scheme + the MiMC x^7
+    gate (q_mimc_coefficient / q_mimc_selector)."""
+
+    name: str = "mimc"
+    polynomial_manifest: tuple = MIMC_POLYNOMIAL_MANIFEST
+
+    def create_manifest(self, num_public_inputs: int) -> Manifest:
+        return mimc_manifest(num_public_inputs)
+
+
 STANDARD = StandardSettings()
 TURBO = TurboSettings()
 UNROLLED_STANDARD = UnrolledStandardSettings()
 UNROLLED_TURBO = UnrolledTurboSettings()
 ULTRA = UltraSettings()
+MIMC = MimcSettings()

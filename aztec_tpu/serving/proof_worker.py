@@ -122,6 +122,12 @@ def _create_root_rollup(body_stream, log):
 
 
 def serve(stdin=None, stdout=None, log=sys.stderr):
+    # persistent XLA executables: a restarted worker must not recompile
+    # the prover kernels (halloumi restarts us on every reset())
+    from ..utils import setup_compile_cache
+
+    setup_compile_cache()
+
     stdin = stdin or sys.stdin.buffer
     stdout = stdout or sys.stdout.buffer
 
