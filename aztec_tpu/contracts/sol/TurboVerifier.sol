@@ -1,0 +1,704 @@
+// SPDX-License-Identifier: GPL-2.0-only
+// On-chain TurboPlonk verifier.
+//
+// Line-by-line mirror of aztec_tpu/plonk/verifier.py (turbo flavor,
+// linearised, keccak transcript) — the Python verifier is itself
+// cross-verified against the reference implementation, so this contract
+// carries the same algebra: transcript replay (turbo_manifest),
+// quotient-evaluation reconstruction (flavors.py TurboFlavor), Kate
+// batch-verification scalars, and the final pairing check.
+// Role of the reference's blockchain/contracts/verifier/TurboVerifier.sol.
+//
+// NOTE: no Solidity toolchain exists in the build image, so this source is
+// emitted + structurally validated but not EVM-tested; treat as reviewed-
+// but-uncompiled until exercised with solc (see contracts/sol_verifier.py).
+
+pragma solidity >=0.6.0 <0.8.0;
+pragma experimental ABIEncoderV2;
+
+import {Types} from "./Types.sol";
+import {Bn254Crypto} from "./Bn254Crypto.sol";
+
+abstract contract TurboVerifier {
+    using Bn254Crypto for Types.G1Point;
+
+    uint256 constant r_mod =
+        0x30644e72e131a029b85045b68181585d2833e84879b9709143e1f593f0000001;
+    uint256 constant NUM_ROOTS_CUT = 4;
+
+    function get_verification_key()
+        internal pure virtual returns (Types.VerificationKey memory);
+
+    /**
+     * Verify a serialized turbo proof (export_transcript layout:
+     * public_inputs | W1..W4 | Z | T1..T4 | 16 fr evaluations |
+     * PI_Z | PI_Z_OMEGA; G1 points serialize as y || x big-endian).
+     */
+    function verify(bytes memory proof_data) public view returns (bool) {
+        Types.VerificationKey memory vk = get_verification_key();
+        uint256 num_pub = vk.num_inputs;
+        require(proof_data.length == num_pub * 0x20 + 0x2e0,
+                "wrong proof length");
+
+        (Types.Proof memory proof, uint256[] memory pub_inputs) =
+            deserialize(proof_data, num_pub);
+        Types.Challenges memory ch =
+            compute_challenges(proof, proof_data, vk, num_pub);
+
+        (uint256 vanishing, uint256 l_start, uint256 l_end) =
+            lagrange_evals(ch.zeta, vk);
+        uint256 delta = public_input_delta(pub_inputs, ch, vk.work_root);
+
+        uint256 t_eval = mulmod(
+            quotient_contribution(proof, ch, l_start, l_end, delta),
+            Bn254Crypto.invert(vanishing), r_mod);
+
+        // nu + separator challenges close over t_eval
+        finalize_challenges(ch, t_eval, proof);
+
+        (Types.G1Point memory P0, Types.G1Point memory P1) =
+            accumulate(proof, ch, vk, t_eval, l_start);
+
+        if (vk.contains_recursive_proof != 0) {
+            (P0, P1) = fold_recursive(P0, P1, pub_inputs, vk, ch.separator);
+        }
+        return Bn254Crypto.pairingCheck(P0, P1, vk.g2_x);
+    }
+
+    // ---- proof deserialization --------------------------------------------
+
+    function read_g1(bytes memory data, uint256 offset)
+        internal pure returns (Types.G1Point memory pt)
+    {
+        uint256 y;
+        uint256 x;
+        assembly {
+            y := mload(add(add(data, 0x20), offset))
+            x := mload(add(add(data, 0x20), add(offset, 0x20)))
+        }
+        require(y >> 255 == 0, "infinity commitment rejected");
+        pt = Types.G1Point(x, y);
+        pt.validateG1Point();
+    }
+
+    function read_fr(bytes memory data, uint256 offset)
+        internal pure returns (uint256 v)
+    {
+        assembly {
+            v := mload(add(add(data, 0x20), offset))
+        }
+        // canonical encodings only: the transcript hashes these words
+        // verbatim, so a reduced-vs-raw mismatch must be impossible
+        require(v < r_mod, "non-canonical field element");
+    }
+
+    function deserialize(bytes memory data, uint256 num_pub)
+        internal pure
+        returns (Types.Proof memory proof, uint256[] memory pub_inputs)
+    {
+        pub_inputs = new uint256[](num_pub);
+        uint256 off = 0;
+        for (uint256 i = 0; i < num_pub; ++i) {
+            pub_inputs[i] = read_fr(data, off);
+            off += 0x20;
+        }
+        proof.W1 = read_g1(data, off); off += 0x40;
+        proof.W2 = read_g1(data, off); off += 0x40;
+        proof.W3 = read_g1(data, off); off += 0x40;
+        proof.W4 = read_g1(data, off); off += 0x40;
+        proof.Z = read_g1(data, off); off += 0x40;
+        proof.T1 = read_g1(data, off); off += 0x40;
+        proof.T2 = read_g1(data, off); off += 0x40;
+        proof.T3 = read_g1(data, off); off += 0x40;
+        proof.T4 = read_g1(data, off); off += 0x40;
+        proof.w1 = read_fr(data, off); off += 0x20;
+        proof.w2 = read_fr(data, off); off += 0x20;
+        proof.w3 = read_fr(data, off); off += 0x20;
+        proof.w4 = read_fr(data, off); off += 0x20;
+        proof.sigma1 = read_fr(data, off); off += 0x20;
+        proof.sigma2 = read_fr(data, off); off += 0x20;
+        proof.sigma3 = read_fr(data, off); off += 0x20;
+        proof.q_arith = read_fr(data, off); off += 0x20;
+        proof.q_ecc = read_fr(data, off); off += 0x20;
+        proof.q_c = read_fr(data, off); off += 0x20;
+        proof.r_eval = read_fr(data, off); off += 0x20;
+        proof.z_omega = read_fr(data, off); off += 0x20;
+        proof.w1_omega = read_fr(data, off); off += 0x20;
+        proof.w2_omega = read_fr(data, off); off += 0x20;
+        proof.w3_omega = read_fr(data, off); off += 0x20;
+        proof.w4_omega = read_fr(data, off); off += 0x20;
+        proof.PI_Z = read_g1(data, off); off += 0x40;
+        proof.PI_Z_OMEGA = read_g1(data, off);
+    }
+
+    // ---- Fiat-Shamir (transcript/transcript.py, turbo_manifest) -----------
+
+    function g1_bytes(Types.G1Point memory pt)
+        internal pure returns (bytes memory)
+    {
+        return abi.encodePacked(pt.y, pt.x);
+    }
+
+    function compute_challenges(
+        Types.Proof memory proof,
+        bytes memory proof_data,
+        Types.VerificationKey memory vk,
+        uint256 num_pub
+    ) internal pure returns (Types.Challenges memory ch) {
+        // round "init": u32 circuit_size || u32 num_inputs
+        bytes32 init = keccak256(abi.encodePacked(
+            uint32(vk.circuit_size), uint32(num_pub)));
+        // round "eta" emits no challenges.
+        // round "beta": prev challenge || public inputs || W1..W4
+        bytes memory pubs = new bytes(num_pub * 0x20);
+        for (uint256 i = 0; i < num_pub * 0x20; ++i) {
+            pubs[i] = proof_data[i];
+        }
+        bytes32 base = keccak256(abi.encodePacked(
+            init, pubs, g1_bytes(proof.W1), g1_bytes(proof.W2),
+            g1_bytes(proof.W3), g1_bytes(proof.W4)));
+        ch.beta = uint256(base) % r_mod;
+        bytes32 gamma_h = keccak256(abi.encodePacked(base, uint8(1)));
+        ch.gamma = uint256(gamma_h) % r_mod;
+        // round "alpha": prev || Z
+        bytes32 alpha_h = keccak256(abi.encodePacked(
+            gamma_h, g1_bytes(proof.Z)));
+        ch.alpha = uint256(alpha_h) % r_mod;
+        // round "z": prev || T1..T4
+        bytes32 zeta_h = keccak256(abi.encodePacked(
+            alpha_h, g1_bytes(proof.T1), g1_bytes(proof.T2),
+            g1_bytes(proof.T3), g1_bytes(proof.T4)));
+        ch.zeta = uint256(zeta_h) % r_mod;
+        // nu + separator finalize later (they hash t_eval)
+        ch.separator = uint256(zeta_h); // stash the round hash
+    }
+
+    function finalize_challenges(
+        Types.Challenges memory ch,
+        uint256 t_eval,
+        Types.Proof memory proof
+    ) internal pure {
+        bytes32 prev = bytes32(ch.separator); // zeta round hash
+        bytes32 base = keccak256(abi.encodePacked(
+            prev, t_eval,
+            proof.w1, proof.w2, proof.w3, proof.w4,
+            proof.sigma1, proof.sigma2, proof.sigma3,
+            proof.q_arith, proof.q_ecc, proof.q_c,
+            proof.r_eval, proof.z_omega,
+            proof.w1_omega, proof.w2_omega, proof.w3_omega, proof.w4_omega));
+        ch.nu[0] = uint256(base) % r_mod;
+        bytes32 last = base;
+        for (uint256 i = 1; i < 11; ++i) {
+            last = keccak256(abi.encodePacked(base, uint8(i)));
+            ch.nu[i] = uint256(last) % r_mod;
+        }
+        bytes32 sep = keccak256(abi.encodePacked(
+            last, g1_bytes(proof.PI_Z), g1_bytes(proof.PI_Z_OMEGA)));
+        ch.separator = uint256(sep) % r_mod;
+    }
+
+    // ---- lagrange evaluations + public input delta ------------------------
+
+    function lagrange_evals(uint256 zeta, Types.VerificationKey memory vk)
+        internal view
+        returns (uint256 vanishing, uint256 l_start, uint256 l_end)
+    {
+        uint256 n = vk.circuit_size;
+        uint256 z_pow_n = Bn254Crypto.pow_small(zeta, n, r_mod);
+        uint256 numerator = addmod(z_pow_n, r_mod - 1, r_mod);
+        uint256 den0 = 1;
+        uint256 work_root = vk.work_root_inverse;
+        for (uint256 i = 0; i < NUM_ROOTS_CUT; ++i) {
+            den0 = mulmod(den0,
+                          addmod(zeta, r_mod - work_root, r_mod), r_mod);
+            work_root = mulmod(work_root, vk.work_root_inverse, r_mod);
+        }
+        uint256 den1 = addmod(zeta, r_mod - 1, r_mod);
+        uint256 l_end_root = Bn254Crypto.pow_small(
+            vk.work_root, NUM_ROOTS_CUT + 1, r_mod);
+        uint256 den2 = addmod(
+            mulmod(zeta, l_end_root, r_mod), r_mod - 1, r_mod);
+        vanishing = mulmod(numerator, Bn254Crypto.invert(den0), r_mod);
+        uint256 scaled = mulmod(numerator, vk.domain_inverse, r_mod);
+        l_start = mulmod(scaled, Bn254Crypto.invert(den1), r_mod);
+        l_end = mulmod(scaled, Bn254Crypto.invert(den2), r_mod);
+    }
+
+    function public_input_delta(
+        uint256[] memory inputs,
+        Types.Challenges memory ch,
+        uint256 work_root
+    ) internal view returns (uint256) {
+        // coset generators k1 = 5 (numerator), k_ext = 12 (denominator)
+        uint256 num = 1;
+        uint256 den = 1;
+        uint256 root_pow = 1;
+        for (uint256 i = 0; i < inputs.length; ++i) {
+            uint256 t0 = addmod(inputs[i], ch.gamma, r_mod);
+            uint256 t1 = mulmod(root_pow, ch.beta, r_mod);
+            num = mulmod(num,
+                         addmod(mulmod(t1, 5, r_mod), t0, r_mod), r_mod);
+            den = mulmod(den,
+                         addmod(mulmod(t1, 12, r_mod), t0, r_mod), r_mod);
+            root_pow = mulmod(root_pow, work_root, r_mod);
+        }
+        return mulmod(num, Bn254Crypto.invert(den), r_mod);
+    }
+
+    // ---- quotient evaluation reconstruction (TurboFlavor) -----------------
+
+    function quotient_contribution(
+        Types.Proof memory proof,
+        Types.Challenges memory ch,
+        uint256 l_start,
+        uint256 l_end,
+        uint256 delta
+    ) internal pure returns (uint256 t) {
+        uint256 a = ch.alpha;
+        uint256 a2 = mulmod(a, a, r_mod);
+        uint256 a3 = mulmod(a2, a, r_mod);
+
+        // permutation part (flavors._perm_t_contribution, width 4,
+        // linearised: + r_eval)
+        uint256 sigma_contribution = 1;
+        sigma_contribution = mulmod(sigma_contribution, addmod(
+            addmod(mulmod(proof.sigma1, ch.beta, r_mod), proof.w1, r_mod),
+            ch.gamma, r_mod), r_mod);
+        sigma_contribution = mulmod(sigma_contribution, addmod(
+            addmod(mulmod(proof.sigma2, ch.beta, r_mod), proof.w2, r_mod),
+            ch.gamma, r_mod), r_mod);
+        sigma_contribution = mulmod(sigma_contribution, addmod(
+            addmod(mulmod(proof.sigma3, ch.beta, r_mod), proof.w3, r_mod),
+            ch.gamma, r_mod), r_mod);
+        sigma_contribution = mulmod(sigma_contribution,
+            addmod(proof.w4, ch.gamma, r_mod), r_mod);
+        sigma_contribution = mulmod(
+            mulmod(sigma_contribution, proof.z_omega, r_mod), a, r_mod);
+
+        t = addmod(
+            mulmod(mulmod(
+                addmod(proof.z_omega, r_mod - delta, r_mod),
+                l_end, r_mod), a2, r_mod),
+            r_mod - mulmod(l_start, a3, r_mod), r_mod);
+        t = addmod(t, r_mod - sigma_contribution, r_mod);
+        t = addmod(t, proof.r_eval, r_mod);
+
+        t = addmod(t, nonlinear_terms(proof, ch), r_mod);
+    }
+
+    function nonlinear_terms(
+        Types.Proof memory proof,
+        Types.Challenges memory ch
+    ) internal pure returns (uint256 t) {
+        // flavors.TurboFlavor._nonlinear_t_terms
+        uint256[14] memory ap;
+        ap[0] = 1;
+        for (uint256 k = 1; k < 14; ++k) {
+            ap[k] = mulmod(ap[k - 1], ch.alpha, r_mod);
+        }
+        uint256 q_arith = proof.q_arith;
+        uint256 q_ecc = proof.q_ecc;
+        uint256 q_c_ev = proof.q_c;
+
+        // arithmetic quad-extraction (q_arith^2 - q_arith branch)
+        uint256 dlt = addmod(proof.w3,
+            r_mod - mulmod(4, proof.w4, r_mod), r_mod);
+        uint256 term = addmod(
+            mulmod(9, dlt, r_mod),
+            r_mod - addmod(mulmod(2, mulmod(dlt, dlt, r_mod), r_mod), 7,
+                           r_mod),
+            r_mod);
+        term = mulmod(dlt, term, r_mod);
+        uint256 qq = addmod(mulmod(q_arith, q_arith, r_mod),
+                            r_mod - q_arith, r_mod);
+        t = mulmod(mulmod(qq, term, r_mod), ap[4], r_mod);
+
+        // fixed-base gate identity
+        uint256 de = addmod(proof.w4_omega,
+            r_mod - mulmod(4, proof.w4, r_mod), r_mod);
+        uint256 acc_id = mulmod(mulmod(
+            mulmod(addmod(de, 1, r_mod), addmod(de, 3, r_mod), r_mod),
+            mulmod(addmod(de, r_mod - 1, r_mod),
+                   addmod(de, r_mod - 3, r_mod), r_mod),
+            r_mod), ap[6], r_mod);
+        uint256 x_alpha_id =
+            r_mod - mulmod(proof.w3_omega, ap[7], r_mod);
+        uint256 t0 = addmod(
+            addmod(proof.w1_omega, proof.w1, r_mod), proof.w3_omega, r_mod);
+        uint256 cma = addmod(proof.w3_omega, r_mod - proof.w1, r_mod);
+        t0 = mulmod(t0, mulmod(cma, cma, r_mod), r_mod);
+        uint256 t1 = r_mod - (addmod(
+            mulmod(mulmod(proof.w3_omega, proof.w3_omega, r_mod),
+                   proof.w3_omega, r_mod),
+            addmod(mulmod(proof.w2, proof.w2, r_mod), r_mod - 17, r_mod),
+            r_mod) % r_mod);
+        t1 = t1 % r_mod;
+        uint256 t2 = mulmod(mulmod(mulmod(2, de, r_mod), proof.w2, r_mod),
+                            q_ecc, r_mod);
+        uint256 x_acc_id = mulmod(
+            addmod(addmod(t0, t1, r_mod), t2, r_mod), ap[8], r_mod);
+        t0 = mulmod(addmod(proof.w2_omega, proof.w2, r_mod), cma, r_mod);
+        t1 = mulmod(
+            addmod(proof.w1, r_mod - proof.w1_omega, r_mod),
+            addmod(proof.w2,
+                   r_mod - mulmod(q_ecc, de, r_mod), r_mod),
+            r_mod);
+        uint256 y_acc_id = mulmod(addmod(t0, t1, r_mod), ap[9], r_mod);
+        t0 = addmod(proof.w4, r_mod - 1, r_mod);
+        t1 = addmod(t0, r_mod - proof.w3, r_mod);
+        uint256 acc_init_id = mulmod(mulmod(t0, t1, r_mod), ap[10], r_mod);
+        uint256 x_init_id = r_mod - mulmod(
+            mulmod(proof.w1, proof.w3, r_mod), ap[11], r_mod);
+        uint256 y_init_id = mulmod(addmod(
+            mulmod(addmod(1, r_mod - proof.w4, r_mod), q_c_ev, r_mod),
+            r_mod - mulmod(proof.w2, proof.w3, r_mod), r_mod),
+            ap[12], r_mod);
+        uint256 gate_id = mulmod(addmod(
+            addmod(acc_init_id, x_init_id, r_mod), y_init_id, r_mod),
+            q_c_ev, r_mod);
+        gate_id = addmod(gate_id, addmod(
+            addmod(acc_id, x_alpha_id, r_mod),
+            addmod(x_acc_id, y_acc_id, r_mod), r_mod), r_mod);
+        t = addmod(t, mulmod(gate_id, q_ecc, r_mod), r_mod);
+    }
+
+    // ---- [D]_1 linear-term scalars (TurboFlavor.selector_linear_scalars +
+    //      perm_linear_terms) -----------------------------------------------
+
+    function accumulate(
+        Types.Proof memory proof,
+        Types.Challenges memory ch,
+        Types.VerificationKey memory vk,
+        uint256 t_eval,
+        uint256 l_start
+    ) internal view returns (Types.G1Point memory, Types.G1Point memory) {
+        uint256 u = ch.separator;
+        uint256 batch_eval = 0;
+        Types.G1Point memory acc;
+        bool acc_set = false;
+
+        // witness wires: scalar = nu_i + u*nu_i (shifted shares the index)
+        {
+            uint256[4] memory evs;
+            evs[0] = proof.w1; evs[1] = proof.w2;
+            evs[2] = proof.w3; evs[3] = proof.w4;
+            uint256[4] memory evws;
+            evws[0] = proof.w1_omega; evws[1] = proof.w2_omega;
+            evws[2] = proof.w3_omega; evws[3] = proof.w4_omega;
+            Types.G1Point[4] memory cms;
+            cms[0] = proof.W1; cms[1] = proof.W2;
+            cms[2] = proof.W3; cms[3] = proof.W4;
+            for (uint256 i = 0; i < 4; ++i) {
+                uint256 s = addmod(ch.nu[i],
+                                   mulmod(u, ch.nu[i], r_mod), r_mod);
+                (acc, acc_set) = msm_add(acc, acc_set, cms[i], s);
+                batch_eval = addmod(batch_eval,
+                    mulmod(ch.nu[i], evs[i], r_mod), r_mod);
+                batch_eval = addmod(batch_eval,
+                    mulmod(mulmod(u, ch.nu[i], r_mod), evws[i], r_mod),
+                    r_mod);
+            }
+        }
+
+        // Z: u (constant-1 pseudo-nu for z_omega) + linearised z term
+        {
+            (uint256 z_mult, uint256 sigma_mult) =
+                perm_linear_terms(proof, ch, l_start);
+            uint256 s = addmod(u,
+                mulmod(z_mult, ch.nu[10], r_mod), r_mod);
+            (acc, acc_set) = msm_add(acc, acc_set, proof.Z, s);
+            batch_eval = addmod(batch_eval,
+                mulmod(u, proof.z_omega, r_mod), r_mod);
+            // SIGMA_4 carries the sigma linear term
+            (acc, acc_set) = msm_add(acc, acc_set, vk.SIGMA4,
+                mulmod(sigma_mult, ch.nu[10], r_mod));
+        }
+
+        // evaluated selectors + sigmas
+        (acc, acc_set) = msm_add(acc, acc_set, vk.SIGMA1, ch.nu[4]);
+        batch_eval = addmod(batch_eval,
+            mulmod(ch.nu[4], proof.sigma1, r_mod), r_mod);
+        (acc, acc_set) = msm_add(acc, acc_set, vk.SIGMA2, ch.nu[5]);
+        batch_eval = addmod(batch_eval,
+            mulmod(ch.nu[5], proof.sigma2, r_mod), r_mod);
+        (acc, acc_set) = msm_add(acc, acc_set, vk.SIGMA3, ch.nu[6]);
+        batch_eval = addmod(batch_eval,
+            mulmod(ch.nu[6], proof.sigma3, r_mod), r_mod);
+        (acc, acc_set) = msm_add(acc, acc_set, vk.QARITH, ch.nu[7]);
+        batch_eval = addmod(batch_eval,
+            mulmod(ch.nu[7], proof.q_arith, r_mod), r_mod);
+        (acc, acc_set) = msm_add(acc, acc_set, vk.QECC, ch.nu[8]);
+        batch_eval = addmod(batch_eval,
+            mulmod(ch.nu[8], proof.q_ecc, r_mod), r_mod);
+
+        // linearised selectors (scalar = linear_term * nu_r; Q_C also
+        // opens its evaluation at nu[9])
+        {
+            uint256 nu_r = ch.nu[10];
+            uint256[11] memory ls = selector_linear_scalars(proof, ch);
+            (acc, acc_set) = msm_add(acc, acc_set, vk.QM,
+                mulmod(ls[0], nu_r, r_mod));
+            (acc, acc_set) = msm_add(acc, acc_set, vk.Q1,
+                mulmod(ls[1], nu_r, r_mod));
+            (acc, acc_set) = msm_add(acc, acc_set, vk.Q2,
+                mulmod(ls[2], nu_r, r_mod));
+            (acc, acc_set) = msm_add(acc, acc_set, vk.Q3,
+                mulmod(ls[3], nu_r, r_mod));
+            (acc, acc_set) = msm_add(acc, acc_set, vk.Q4,
+                mulmod(ls[4], nu_r, r_mod));
+            (acc, acc_set) = msm_add(acc, acc_set, vk.Q5,
+                mulmod(ls[5], nu_r, r_mod));
+            (acc, acc_set) = msm_add(acc, acc_set, vk.QC,
+                addmod(mulmod(ls[6], nu_r, r_mod), ch.nu[9], r_mod));
+            batch_eval = addmod(batch_eval,
+                mulmod(ch.nu[9], proof.q_c, r_mod), r_mod);
+            (acc, acc_set) = msm_add(acc, acc_set, vk.QRANGE,
+                mulmod(ls[9], nu_r, r_mod));
+            (acc, acc_set) = msm_add(acc, acc_set, vk.QLOGIC,
+                mulmod(ls[10], nu_r, r_mod));
+            // r(X) evaluation opens at nu_r
+            batch_eval = addmod(batch_eval,
+                mulmod(nu_r, proof.r_eval, r_mod), r_mod);
+        }
+
+        // quotient splits: nu(t) = 1 (constant pseudo-challenge)
+        {
+            uint256 z_pow_n = Bn254Crypto.pow_small(
+                ch.zeta, vk.circuit_size, r_mod);
+            uint256 zp = 1;
+            (acc, acc_set) = msm_add(acc, acc_set, proof.T1, 1);
+            zp = mulmod(zp, z_pow_n, r_mod);
+            (acc, acc_set) = msm_add(acc, acc_set, proof.T2, zp);
+            zp = mulmod(zp, z_pow_n, r_mod);
+            (acc, acc_set) = msm_add(acc, acc_set, proof.T3, zp);
+            zp = mulmod(zp, z_pow_n, r_mod);
+            (acc, acc_set) = msm_add(acc, acc_set, proof.T4, zp);
+            batch_eval = addmod(batch_eval, t_eval, r_mod);
+        }
+
+        // -batch_eval * generator
+        (acc, acc_set) = msm_add(
+            acc, acc_set, Types.G1Point(1, 2),
+            r_mod - (batch_eval % r_mod));
+
+        // opening commitments
+        (acc, acc_set) = msm_add(acc, acc_set, proof.PI_Z, ch.zeta);
+        (acc, acc_set) = msm_add(acc, acc_set, proof.PI_Z_OMEGA,
+            mulmod(mulmod(ch.zeta, vk.work_root, r_mod), u, r_mod));
+
+        Types.G1Point memory P1 = Bn254Crypto.negate(
+            Bn254Crypto.ecAdd(Bn254Crypto.ecMul(proof.PI_Z_OMEGA, u),
+                              proof.PI_Z));
+        return (acc, P1);
+    }
+
+    function msm_add(
+        Types.G1Point memory acc,
+        bool acc_set,
+        Types.G1Point memory pt,
+        uint256 scalar
+    ) internal view returns (Types.G1Point memory, bool) {
+        if (scalar == 0) {
+            return (acc, acc_set);
+        }
+        Types.G1Point memory term = Bn254Crypto.ecMul(pt, scalar);
+        if (!acc_set) {
+            return (term, true);
+        }
+        return (Bn254Crypto.ecAdd(acc, term), true);
+    }
+
+    function perm_linear_terms(
+        Types.Proof memory proof,
+        Types.Challenges memory ch,
+        uint256 l_start
+    ) internal pure returns (uint256 z_mult, uint256 sigma_mult) {
+        // flavors._perm_linear_terms (width 4, coset generators 1,5,6,7)
+        uint256 z_beta = mulmod(ch.zeta, ch.beta, r_mod);
+        uint256[4] memory ks;
+        ks[0] = 1; ks[1] = 5; ks[2] = 6; ks[3] = 7;
+        uint256[4] memory ws;
+        ws[0] = proof.w1; ws[1] = proof.w2;
+        ws[2] = proof.w3; ws[3] = proof.w4;
+        uint256 z_contrib = 1;
+        for (uint256 k = 0; k < 4; ++k) {
+            z_contrib = mulmod(z_contrib, addmod(
+                addmod(ws[k], mulmod(z_beta, ks[k], r_mod), r_mod),
+                ch.gamma, r_mod), r_mod);
+        }
+        uint256 a3 = mulmod(mulmod(ch.alpha, ch.alpha, r_mod),
+                            ch.alpha, r_mod);
+        z_mult = addmod(mulmod(z_contrib, ch.alpha, r_mod),
+                        mulmod(l_start, a3, r_mod), r_mod);
+
+        uint256[3] memory sig;
+        sig[0] = proof.sigma1; sig[1] = proof.sigma2;
+        sig[2] = proof.sigma3;
+        uint256 sigma_contrib = 1;
+        for (uint256 k = 0; k < 3; ++k) {
+            sigma_contrib = mulmod(sigma_contrib, addmod(
+                addmod(mulmod(sig[k], ch.beta, r_mod), ws[k], r_mod),
+                ch.gamma, r_mod), r_mod);
+        }
+        sigma_mult = r_mod - mulmod(mulmod(
+            mulmod(sigma_contrib, proof.z_omega, r_mod),
+            ch.alpha, r_mod), ch.beta, r_mod);
+    }
+
+    function selector_linear_scalars(
+        Types.Proof memory proof,
+        Types.Challenges memory ch
+    ) internal pure returns (uint256[11] memory out) {
+        // out: [q_m, q_1, q_2, q_3, q_4, q_5, q_c, q_arith(unused),
+        //       q_ecc(unused), q_range, q_logic]
+        uint256[18] memory ap;
+        ap[0] = 1;
+        for (uint256 k = 1; k < 18; ++k) {
+            ap[k] = mulmod(ap[k - 1], ch.alpha, r_mod);
+        }
+        uint256 q_arith = proof.q_arith;
+        uint256 q_ecc = proof.q_ecc;
+        uint256 q_c_ev = proof.q_c;
+
+        out[0] = mulmod(mulmod(mulmod(q_arith, proof.w1, r_mod),
+                               proof.w2, r_mod), ap[4], r_mod);
+        out[1] = mulmod(mulmod(q_arith, proof.w1, r_mod), ap[4], r_mod);
+        out[2] = mulmod(mulmod(q_arith, proof.w2, r_mod), ap[4], r_mod);
+        out[3] = mulmod(mulmod(q_arith, proof.w3, r_mod), ap[4], r_mod);
+        out[4] = mulmod(mulmod(q_arith, proof.w4, r_mod), ap[4], r_mod);
+        uint256 d = proof.w4;
+        out[5] = mulmod(mulmod(mulmod(
+            addmod(mulmod(d, d, r_mod), r_mod - d, r_mod),
+            addmod(d, r_mod - 2, r_mod), r_mod), q_arith, r_mod),
+            ap[5], r_mod);
+        out[6] = mulmod(q_arith, ap[4], r_mod);
+
+        // fixed-base ECC linear additions
+        uint256 de = addmod(proof.w4_omega,
+            r_mod - mulmod(4, proof.w4, r_mod), r_mod);
+        out[1] = addmod(out[1], mulmod(mulmod(
+            mulmod(de, de, r_mod), q_ecc, r_mod), ap[7], r_mod), r_mod);
+        out[2] = addmod(out[2], mulmod(q_ecc, ap[7], r_mod), r_mod);
+        uint256 q3m = mulmod(mulmod(mulmod(mulmod(
+            addmod(proof.w1_omega, r_mod - proof.w1, r_mod),
+            de, r_mod), proof.w3_omega, r_mod), ap[9], r_mod),
+            q_ecc, r_mod);
+        uint256 t1 = mulmod(mulmod(mulmod(de, proof.w3_omega, r_mod),
+                                   proof.w2, r_mod), ap[8], r_mod);
+        q3m = addmod(q3m,
+            mulmod(mulmod(2, t1, r_mod), q_ecc, r_mod), r_mod);
+        out[3] = addmod(out[3], q3m, r_mod);
+        out[4] = addmod(out[4], mulmod(mulmod(
+            mulmod(proof.w3, q_ecc, r_mod), q_c_ev, r_mod),
+            ap[11], r_mod), r_mod);
+        out[5] = addmod(out[5], mulmod(mulmod(mulmod(
+            addmod(1, r_mod - proof.w4, r_mod), q_ecc, r_mod),
+            q_c_ev, r_mod), ap[11], r_mod), r_mod);
+        out[0] = addmod(out[0], mulmod(mulmod(
+            mulmod(proof.w3, q_ecc, r_mod), q_c_ev, r_mod),
+            ap[12], r_mod), r_mod);
+
+        // range
+        uint256 d1 = addmod(proof.w3,
+            r_mod - mulmod(4, proof.w4, r_mod), r_mod);
+        uint256 d2 = addmod(proof.w2,
+            r_mod - mulmod(4, proof.w3, r_mod), r_mod);
+        uint256 d3 = addmod(proof.w1,
+            r_mod - mulmod(4, proof.w2, r_mod), r_mod);
+        uint256 d4 = addmod(proof.w4_omega,
+            r_mod - mulmod(4, proof.w1, r_mod), r_mod);
+        out[9] = addmod(addmod(
+            mulmod(range_quad(d1), ap[13], r_mod),
+            mulmod(range_quad(d2), ap[14], r_mod), r_mod),
+            addmod(
+            mulmod(range_quad(d3), ap[15], r_mod),
+            mulmod(range_quad(d4), ap[16], r_mod), r_mod), r_mod);
+
+        // logic
+        out[10] = logic_scalar(proof, ch.alpha, ap[17]);
+    }
+
+    function range_quad(uint256 x) internal pure returns (uint256) {
+        return mulmod(mulmod(x, addmod(x, r_mod - 1, r_mod), r_mod),
+                      mulmod(addmod(x, r_mod - 2, r_mod),
+                             addmod(x, r_mod - 3, r_mod), r_mod), r_mod);
+    }
+
+    function logic_scalar(
+        Types.Proof memory proof,
+        uint256 alpha,
+        uint256 ap17
+    ) internal pure returns (uint256) {
+        uint256 qa = addmod(proof.w1_omega,
+            r_mod - mulmod(4, proof.w1, r_mod), r_mod);
+        uint256 qb = addmod(proof.w2_omega,
+            r_mod - mulmod(4, proof.w2, r_mod), r_mod);
+        uint256 ds = addmod(qa, qb, r_mod);
+        uint256 dss = addmod(mulmod(qa, qa, r_mod),
+                             mulmod(qb, qb, r_mod), r_mod);
+        uint256 identity = mulmod(addmod(
+            addmod(mulmod(ds, ds, r_mod), r_mod - dss, r_mod),
+            r_mod - mulmod(2, proof.w3, r_mod), r_mod), alpha, r_mod);
+        uint256 t2a = addmod(mulmod(qa, qa, r_mod), r_mod - qa, r_mod);
+        identity = mulmod(addmod(identity, mulmod(addmod(
+            addmod(t2a, r_mod - mulmod(4, qa, r_mod), r_mod), 6, r_mod),
+            t2a, r_mod), r_mod), alpha, r_mod);
+        uint256 t3b = addmod(mulmod(qb, qb, r_mod), r_mod - qb, r_mod);
+        identity = mulmod(addmod(identity, mulmod(addmod(
+            addmod(t3b, r_mod - mulmod(4, qb, r_mod), r_mod), 6, r_mod),
+            t3b, r_mod), r_mod), alpha, r_mod);
+        uint256 w_term = mulmod(addmod(
+            addmod(mulmod(4, proof.w3, r_mod),
+                   r_mod - mulmod(18, ds, r_mod), r_mod),
+            81, r_mod), proof.w3, r_mod);
+        w_term = mulmod(addmod(w_term, addmod(
+            addmod(mulmod(18, dss, r_mod),
+                   r_mod - mulmod(81, ds, r_mod), r_mod),
+            83, r_mod), r_mod), proof.w3, r_mod);
+        uint256 qc_quad = addmod(proof.w4_omega,
+            r_mod - mulmod(4, proof.w4, r_mod), r_mod);
+        uint256 t3 = mulmod(addmod(
+            mulmod(9, qc_quad, r_mod),
+            r_mod - mulmod(3, ds, r_mod), r_mod), proof.q_c, r_mod);
+        uint256 t2 = addmod(addmod(
+            mulmod(3, qc_quad, r_mod), mulmod(3, ds, r_mod), r_mod),
+            addmod(r_mod - mulmod(2, w_term, r_mod), t3, r_mod), r_mod);
+        return mulmod(addmod(identity, t2, r_mod), ap17, r_mod);
+    }
+
+    // ---- recursive accumulator folding ------------------------------------
+
+    function fold_recursive(
+        Types.G1Point memory P0,
+        Types.G1Point memory P1,
+        uint256[] memory pub_inputs,
+        Types.VerificationKey memory vk,
+        uint256 separator
+    ) internal view returns (Types.G1Point memory, Types.G1Point memory) {
+        uint256 idx0 = vk.recursive_proof_indices;
+        require(idx0 + 16 <= pub_inputs.length,
+                "recursive indices out of range");
+        uint256 u2 = mulmod(separator, separator, r_mod);
+        Types.G1Point memory inner_p0 = limbs_to_point(pub_inputs, idx0);
+        Types.G1Point memory inner_p1 = limbs_to_point(pub_inputs, idx0 + 8);
+        inner_p0.validateG1Point();
+        inner_p1.validateG1Point();
+        P0 = Bn254Crypto.ecAdd(P0, Bn254Crypto.ecMul(inner_p0, u2));
+        P1 = Bn254Crypto.ecAdd(P1, Bn254Crypto.ecMul(inner_p1, u2));
+        return (P0, P1);
+    }
+
+    function limbs_to_point(uint256[] memory pub_inputs, uint256 base)
+        internal pure returns (Types.G1Point memory)
+    {
+        uint256 x = pub_inputs[base]
+            + (pub_inputs[base + 1] << 68)
+            + (pub_inputs[base + 2] << 136)
+            + (pub_inputs[base + 3] << 204);
+        uint256 y = pub_inputs[base + 4]
+            + (pub_inputs[base + 5] << 68)
+            + (pub_inputs[base + 6] << 136)
+            + (pub_inputs[base + 7] << 204);
+        return Types.G1Point(x, y);
+    }
+}
