@@ -79,3 +79,40 @@ def join_split_circuit_data(data_depth: int = DEFAULT_DATA_DEPTH
         f"join_split_circuit_data_d{data_depth}",
         lambda: _build_join_split_data(data_depth), version="1")
     return CircuitData(vk=vk, padding_proof=proof)
+
+
+def _build_account_data() -> Tuple[bytes, object]:
+    from ..merkle import MemoryTree
+    from ..plonk.composer import TurboComposer
+    from ..plonk import manifests
+    from ..srs.reference_string import FakeReferenceStringFactory
+    from .account import AccountTx, account_circuit
+    from .account import sign_tx as account_sign_tx
+
+    pub = pd.fixed_base_scalar_mul_g1(_NOOP_PRIV, 254)
+    spend = pd.fixed_base_scalar_mul_g1(0x51, 254)
+    tree = MemoryTree(3)
+    tx = AccountTx(
+        merkle_root=tree.root, account_public_key=pub,
+        new_account_public_key=pub, new_signing_pub_key_1=spend,
+        new_signing_pub_key_2=spend, alias_hash=0xA11A5, nonce=0,
+        migrate=True, gibberish=0x61BB, account_index=0,
+        account_path=tree.get_hash_path(0), signing_pub_key=spend,
+        signature=(bytes(32), bytes(32)),
+    )
+    tx.signature = account_sign_tx(tx, _NOOP_PRIV, k=0xD00D)
+    c = TurboComposer(crs_factory=FakeReferenceStringFactory())
+    account_circuit(c, tx)
+    assert not c.failed, c.err
+    proof = c.create_unrolled_prover().construct_proof()
+    vk = dataclasses.replace(c.compute_verification_key(),
+                             settings=manifests.UNROLLED_TURBO)
+    return proof, vk
+
+
+def account_circuit_data() -> CircuitData:
+    """compute-or-load the account-circuit VK + a sample proof
+    (ref: account/compute_circuit_data.hpp)."""
+    proof, vk = fixtures.compute_or_load_proof_and_vk(
+        "account_circuit_data", _build_account_data, version="1")
+    return CircuitData(vk=vk, padding_proof=proof)

@@ -106,6 +106,20 @@ def make_handler(worker: WorkerClient):
             if self.path.startswith("/status"):
                 self._send(200, json.dumps({"ready": worker.ready}).encode(),
                            "application/json")
+            elif self.path.startswith("/get-join-split-vk"):
+                # (halloumi app.ts:53-57)
+                try:
+                    vk = worker.create_proof(struct.pack(">I", 0x200))
+                    self._send(200, vk, "application/json")
+                except Exception as e:
+                    self._send(500, str(e).encode(), "text/plain")
+            elif self.path.startswith("/get-account-vk"):
+                # (halloumi app.ts:59-63)
+                try:
+                    vk = worker.create_proof(struct.pack(">I", 0x201))
+                    self._send(200, vk, "application/json")
+                except Exception as e:
+                    self._send(500, str(e).encode(), "text/plain")
             else:
                 self._send(404, b"not found")
 

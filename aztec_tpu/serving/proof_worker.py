@@ -16,6 +16,9 @@ proof_id (ref: rollup_cli/main.cpp:131-149):
   0x100  standard-PLONK demo proof: body = u32 num_gates (builds the
          benchmark circuit of that size, proves, returns proof bytes)
   0x101  turbo-PLONK demo proof: same body
+  0x200  join_split verification key (no body; u32-prefixed JSON reply —
+         halloumi getJoinSplitVk, server.ts:34-36)
+  0x201  account verification key (halloumi getAccountVk, server.ts:38-40)
 
 Deviations from rollup_cli: tx bodies are u32-length-prefixed (the
 reference streams them unframed), and proof_id 1 carries the inner-rollup
@@ -164,6 +167,26 @@ def serve(stdin=None, stdout=None, log=sys.stderr):
             proof = c.create_prover().construct_proof()
             ok = c.create_verifier().verify_proof(proof)
             stdout.write(struct.pack(">I", len(proof)) + proof)
+            stdout.write(b"\x01" if ok else b"\x00")
+            stdout.flush()
+        elif proof_id in (0x200, 0x201):
+            # verification-key queries (halloumi getJoinSplitVk /
+            # getAccountVk, server.ts:34-40) — body-less request, returns
+            # the circuit VK as u32-prefixed JSON
+            from ..rollup.circuit_data import (
+                account_circuit_data,
+                join_split_circuit_data,
+            )
+            from ..utils.fixtures import vk_to_json
+
+            try:
+                cd = (join_split_circuit_data() if proof_id == 0x200
+                      else account_circuit_data())
+                payload, ok = vk_to_json(cd.vk).encode(), True
+            except Exception as e:
+                print(f"vk query error: {e!r}", file=log, flush=True)
+                payload, ok = b"", False
+            stdout.write(struct.pack(">I", len(payload)) + payload)
             stdout.write(b"\x01" if ok else b"\x00")
             stdout.flush()
         else:

@@ -6,12 +6,17 @@ Format (verified against the reference reader):
 - G1 points: num_g1 * 64 bytes; each coordinate is 4 uint64 words stored
   least-significant-word first, each word big-endian
 - G2 points: num_g2 * 128 bytes, same word scheme per Fq2 component
-- 64-byte blake2b checksum (ignored on read here)
+- 64-byte blake2b checksum over manifest||G1||G2.  The reference reader
+  only skips it (io.cpp:21-28 uses the length for offsets and never
+  validates); here the writer stores a real digest and the reader
+  validates any NON-zero stored checksum (all-zero = legacy/dev file,
+  accepted for compatibility with files the reference tools produced).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import struct
 
 import numpy as np
@@ -68,6 +73,12 @@ def read_transcript(path: str):
     off += n1 * 64
     n2 = man.num_g2_points
     g2_bytes = data[off : off + n2 * 128]
+    stored = data[off + n2 * 128 : off + n2 * 128 + CHECKSUM_LEN]
+    if len(stored) == CHECKSUM_LEN and any(stored):
+        digest = hashlib.blake2b(
+            data[: off + n2 * 128], digest_size=CHECKSUM_LEN).digest()
+        if digest != stored:
+            raise ValueError(f"SRS transcript checksum mismatch: {path}")
     xs = _words_to_limbs(g1[:, 0, :].astype(np.uint64))
     ys = _words_to_limbs(g1[:, 1, :].astype(np.uint64))
     return man, xs, ys, g2_bytes
@@ -105,8 +116,8 @@ def write_transcript(path: str, g1_x_limbs, g1_y_limbs, g2_points, *,
         for c, v in enumerate((x0, x1, y0, y1)):
             for w in range(4):
                 g2_raw[i, c, w] = (v >> (64 * w)) & 0xFFFFFFFFFFFFFFFF
+    body = man + g1.tobytes() + g2_raw.tobytes()
+    digest = hashlib.blake2b(body, digest_size=CHECKSUM_LEN).digest()
     with open(path, "wb") as f:
-        f.write(man)
-        f.write(g1.tobytes())
-        f.write(g2_raw.tobytes())
-        f.write(b"\x00" * CHECKSUM_LEN)
+        f.write(body)
+        f.write(digest)
