@@ -209,6 +209,7 @@ class Verifier:
                 "q_range": "Q_RANGE_SELECTOR",
                 "q_ecc_1": "Q_FIXED_BASE_SELECTOR",
                 "q_logic": "Q_LOGIC_SELECTOR",
+                "q_mimc_selector": "Q_MIMC_SELECTOR",
             }
             for plabel, scalar in self.flavor.selector_linear_scalars(
                 ev, ch
