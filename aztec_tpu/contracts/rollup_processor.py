@@ -121,6 +121,14 @@ class RollupProcessor:
 
     # ---- rollup processing (ref: processRollup :358-400) -------------------
 
+    def escape_hatch(self, proof_data: bytes) -> bytes:
+        """User-submitted escape-hatch rollup (ref: escapeHatch :347-356):
+        accepted from anyone, but only inside the escape window."""
+        open_, _ = self.get_escape_hatch_status()
+        if not open_:
+            raise RollupProcessorError("ESCAPE_BLOCK_RANGE_INCORRECT")
+        return self.process_rollup(proof_data, provider="escape_hatch")
+
     def process_rollup(self, proof_data: bytes, provider: str = "owner",
                        ) -> bytes:
         open_, _ = self.get_escape_hatch_status()

@@ -113,3 +113,16 @@ def test_bad_chaining_rejected():
     with pytest.raises(RollupProcessorError,
                        match="INCORRECT_DATA_START_INDEX"):
         proc.process_rollup(proof3)
+
+
+def test_escape_hatch_submission():
+    proc = RollupProcessor()
+    head = [0, 1, 0, 11, 22, 33, 44, 55, 66] + [0] * 4 + [1]
+    proof = b"".join(v.to_bytes(32, "big") for v in head) + bytes(12 * 32)
+    # closed window: rejected
+    with pytest.raises(RollupProcessorError, match="ESCAPE_BLOCK_RANGE"):
+        proc.escape_hatch(proof)
+    # open window: accepted from a non-provider
+    proc.block_height = 85
+    proc.escape_hatch(proof)
+    assert proc.next_rollup_id == 1
