@@ -30,12 +30,15 @@ def _machine_tag() -> str:
 
 
 def setup_compile_cache(base: str = "/root/repo/.jax_cache",
-                        max_compile_secs: float = 480.0):
+                        max_compile_secs: float = 1800.0):
     """Enable the persistent cache, machine-keyed, with a size guard.
 
     XLA:CPU's executable.serialize() SIGSEGVs on very large modules (the
     2^16-point MSM, observed on this jaxlib), so entries whose compile took
     longer than ``max_compile_secs`` are not persisted on the CPU backend.
+    Serialization runs fork-sandboxed (below), so a crash only loses the
+    entry — the cap is generous and exists to bound serialize time on
+    truly enormous modules.
     """
     # XLA:CPU sporadically SIGSEGVs when compiling a FRESH module late in a
     # process that has already compiled ~20 modules (state-dependent compiler
