@@ -33,7 +33,7 @@ import time
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
 MAX_LOG2 = int(os.environ.get("BENCH_MSM_MAXLOG2", 20))
-SIZES = [n for n in (14, 20) if n <= MAX_LOG2] or [MAX_LOG2]
+SIZES = [n for n in (10, 14, 20) if n <= MAX_LOG2] or [MAX_LOG2]
 BASELINE_POINTS_PER_S = 3.0e6
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
@@ -45,10 +45,31 @@ def supervise():
     t0 = time.time()
     best = None  # (log2n, pps)
     done = {"v": False}
+    platform = {"v": ""}
+
+    # Probe the backend in a DISPOSABLE child first: a hung axon tunnel
+    # wedges jax.devices() in a GIL-holding RPC that ignores signals, so
+    # the probe must be killable from outside.
+    env = dict(os.environ, BENCH_WORKER="1")
+    probe_budget = min(600, BUDGET_S / 3)
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=probe_budget, capture_output=True, text=True,
+        )
+        plat = probe.stdout.strip()
+        if probe.returncode != 0 or not plat:
+            raise RuntimeError(probe.stderr[-200:])
+        print(f"# backend probe: {plat}", file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"# backend probe failed ({e!r}); forcing CPU fallback",
+              file=sys.stderr, flush=True)
+        env["JAX_PLATFORMS"] = "cpu"
 
     proc = subprocess.Popen(
         [sys.executable, "-u", os.path.abspath(__file__)],
-        env=dict(os.environ, BENCH_WORKER="1"),
+        env=env,
         stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
     )
 
@@ -65,8 +86,10 @@ def supervise():
                 }), flush=True)
             else:
                 log2n, pps = best
+                tag = ("" if platform["v"] in ("", "tpu")
+                       else f"{platform['v']}_fallback_")
                 print(json.dumps({
-                    "metric": f"msm_bn254_2pow{log2n}_points_per_s",
+                    "metric": f"msm_bn254_{tag}2pow{log2n}_points_per_s",
                     "value": round(pps, 1),
                     "unit": "points/s",
                     "vs_baseline": round(pps / BASELINE_POINTS_PER_S, 4),
@@ -85,6 +108,8 @@ def supervise():
     # parent blocks on worker output; alarm/SIGTERM break us out
     for line in proc.stdout:
         line = line.strip()
+        if line.startswith("#PLATFORM"):
+            platform["v"] = line.split()[1]
         if line.startswith("#RESULT"):
             _, k, pps = line.split()
             k, pps = int(k), float(pps)
@@ -104,6 +129,20 @@ def worker():
 
     import numpy as np
     import jax
+
+    # the axon TPU tunnel can be down for hours; a CPU number with an
+    # honest metric name beats no number (the supervisor prefixes the
+    # metric with the platform the worker reports)
+    try:
+        backend = jax.devices()[0].platform
+    except Exception as e:
+        print(f"# TPU backend unavailable ({e!r}); falling back to CPU",
+              file=sys.stderr, flush=True)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.devices()[0].platform
+    print(f"#PLATFORM {backend}", flush=True)
+
     import jax.numpy as jnp
 
     from aztec_tpu.utils import setup_compile_cache
