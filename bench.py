@@ -169,35 +169,46 @@ def worker():
     )
 
     def get_points(log2n):
-        """SRS-like affine points (Montgomery planes), disk-cached: the
-        device generation (fixed-base mul + batch normalize) dominates a
-        cold run, so persist it; larger cached sizes serve smaller ones
-        by prefix-slicing (the set is tau^i * G).  Generation runs in
-        2^16-point chunks — at full 2^20 width the (L, L, n) mont_mul
-        outer-product intermediates are ~1 GB each and blow the 16 GB
-        HBM; chunking also reuses one compiled shape for all sizes."""
+        """SRS-like affine points (Montgomery planes), disk-cached.
+
+        The FULL max(SIZES) set is generated on the first call and every
+        size serves by prefix-slicing (the set is tau^i * G) — one
+        compiled chunk shape (2^16) covers everything, so the device
+        generation (fixed-base mul + batch normalize) compiles exactly
+        once.  Chunking also bounds the (L, L, n) mont_mul outer-product
+        intermediates (~1 GB each at full 2^20 width) below HBM limits.
+        Per-chunk .npy checkpoints make generation resumable across
+        budget-killed runs."""
         os.makedirs(CACHE_DIR, exist_ok=True)
         n = 1 << log2n
-        for k in range(log2n, max(SIZES) + 1):
-            f = os.path.join(CACHE_DIR, f"points_2pow{k}.npz")
-            if os.path.exists(f):
-                d = np.load(f)
-                return (jnp.asarray(d["X"][:, :n]), jnp.asarray(d["Y"][:, :n]))
-        chunk = min(n, 1 << 16)
-        xs, ys = [], []
-        for base in range(0, n, chunk):
-            sc_tbl = jnp.asarray(tau_limbs[:, base:base + chunk])
-            P = fixed_base_mul(sc_tbl, BN254_G1)
-            Xc, Yc, inf = group.to_affine(P, BN254_G1.field)
-            xs.append(np.asarray(Xc))
-            ys.append(np.asarray(Yc))
-            print(f"# points chunk {base + chunk}/{n}", file=sys.stderr,
-                  flush=True)
-        Xh = np.concatenate(xs, axis=1)
-        Yh = np.concatenate(ys, axis=1)
-        np.savez(os.path.join(CACHE_DIR, f"points_2pow{log2n}.npz"),
-                 X=Xh, Y=Yh)
-        return jnp.asarray(Xh), jnp.asarray(Yh)
+        nfull = 1 << max(SIZES)
+        f = os.path.join(CACHE_DIR, f"points_2pow{max(SIZES)}.npz")
+        if not os.path.exists(f):
+            chunk = min(nfull, 1 << 16)
+            xs, ys = [], []
+            for base in range(0, nfull, chunk):
+                cf = os.path.join(CACHE_DIR, f"chunk_{base}.npz")
+                if os.path.exists(cf):
+                    d = np.load(cf)
+                    xs.append(d["X"])
+                    ys.append(d["Y"])
+                    continue
+                sc_tbl = jnp.asarray(tau_limbs[:, base:base + chunk])
+                P = fixed_base_mul(sc_tbl, BN254_G1)
+                Xc, Yc, inf = group.to_affine(P, BN254_G1.field)
+                xs.append(np.asarray(Xc))
+                ys.append(np.asarray(Yc))
+                np.savez(cf, X=xs[-1], Y=ys[-1])
+                print(f"# points chunk {base + chunk}/{nfull}",
+                      file=sys.stderr, flush=True)
+            np.savez(f, X=np.concatenate(xs, axis=1),
+                     Y=np.concatenate(ys, axis=1))
+            for base in range(0, nfull, chunk):
+                cf = os.path.join(CACHE_DIR, f"chunk_{base}.npz")
+                if os.path.exists(cf):
+                    os.remove(cf)
+        d = np.load(f)
+        return (jnp.asarray(d["X"][:, :n]), jnp.asarray(d["Y"][:, :n]))
 
     for log2n in SIZES:
         n = 1 << log2n
