@@ -65,9 +65,19 @@ def main():
     n = 1 << log2n
     c, K, K2 = 16, 64, 64
 
-    d = np.load(os.path.join(REPO, ".bench_cache", "points_2pow20.npz"))
-    X = jnp.asarray(d["X"][:, :n])
-    Y = jnp.asarray(d["Y"][:, :n])
+    cache = os.path.join(REPO, ".bench_cache", "points_2pow20.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        X = jnp.asarray(d["X"][:, :n])
+        Y = jnp.asarray(d["Y"][:, :n])
+    else:
+        # timing only: every kernel is branchless/data-independent, so
+        # random sub-16-bit planes time identically to real SRS points
+        print("# no point cache; using synthetic planes (timing-only)",
+              flush=True)
+        rngp = np.random.default_rng(3)
+        X = jnp.asarray(rngp.integers(0, 1 << 16, (16, n), dtype=np.uint32))
+        Y = jnp.asarray(rngp.integers(0, 1 << 16, (16, n), dtype=np.uint32))
     rng = np.random.default_rng(5)
     scal = jnp.asarray(ints_to_limbs(
         [int.from_bytes(rng.bytes(32), "little") % FR_MOD for _ in range(n)]))
