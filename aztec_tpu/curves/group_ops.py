@@ -16,11 +16,19 @@ import jax.numpy as jnp
 from ..ff import limb
 from ..ff.spec import FieldSpec
 from . import group
+from . import group_pallas as gp
 from .spec import CurveSpec
 
 
 @dataclasses.dataclass(frozen=True)
 class JacobianOps:
+    """Real group ops bundle.
+
+    On TPU, wide batches route through the fused Pallas kernels
+    (curves/group_pallas.py, bit-identical results); narrow batches and
+    other backends use the jnp formulas in curves/group.py.
+    """
+
     curve: CurveSpec
 
     @property
@@ -34,12 +42,16 @@ class JacobianOps:
         return group.dbl(P, self.spec)
 
     def add_unsafe(self, P, Q):
+        if gp.enabled(P):
+            return gp.add_unsafe(P, Q, self.spec)
         return group.add_unsafe(P, Q, self.spec)
 
     def add_complete(self, P, Q):
         return group.add_complete(P, Q, self.spec)
 
     def mixed_add_unsafe(self, P, Qa):
+        if gp.enabled(P):
+            return gp.mixed_add_unsafe(P, Qa, self.spec)
         return group.mixed_add_unsafe(P, Qa, self.spec)
 
     def from_affine(self, Qa):
@@ -62,15 +74,31 @@ class JacobianOps:
         return group.proj_infinity(self.spec, batch_shape)
 
     def c_add(self, P, Q):
+        if gp.enabled(P) or gp.enabled(Q):
+            return gp.proj_add_complete(P, Q, self.spec, self.curve.b)
         return group.proj_add_complete(P, Q, self.spec, self.curve.b)
 
     def c_dbl(self, P):
+        if gp.enabled(P):
+            return gp.proj_dbl(P, self.spec, self.curve.b)
         return group.proj_dbl(P, self.spec, self.curve.b)
 
+    def c_dbl_n(self, P, steps: int):
+        """steps successive complete doublings (fused on TPU)."""
+        if gp.enabled(P):
+            return gp.proj_dbl_n(P, self.spec, self.curve.b, steps)
+        for _ in range(steps):
+            P = group.proj_dbl(P, self.spec, self.curve.b)
+        return P
+
     def j2c(self, P):
+        if gp.enabled(P):
+            return gp.jacobian_to_proj(P, self.spec)
         return group.jacobian_to_proj(P, self.spec)
 
     def c2j(self, P):
+        if gp.enabled(P):
+            return gp.proj_to_jacobian(P, self.spec)
         return group.proj_to_jacobian(P, self.spec)
 
     def c_mask_to_infinity(self, keep_mask, P):
@@ -108,6 +136,11 @@ class IntModOps:
     c_infinity = infinity
     c_add = add_unsafe
     c_dbl = dbl
+
+    def c_dbl_n(self, P, steps: int):
+        for _ in range(steps):
+            P = self.dbl(P)
+        return P
 
     def j2c(self, P):
         return P

@@ -286,6 +286,10 @@ def endo_table(points, curve: CurveSpec):
         int_to_limbs(fq.to_mont_int(P["beta"]), fq.nlimbs), points[0].ndim
     )
     X, Y = points
+    from ..ff import pallas_field as pf
+
+    if pf.use_pallas():
+        return pf.mont_mul(X, jnp.broadcast_to(beta_m, X.shape), fq)
     Xe = limb.mont_mul(X, jnp.broadcast_to(beta_m, X.shape), fq)
     return Xe
 

@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..curves.group_ops import JacobianOps, IntModOps
@@ -226,11 +227,23 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
     B = n // K
     mask_c = jnp.uint32(nbuckets - 1)
 
-    def round_body(r, acc):
-        def dbl_step(_, a):
-            return ops.c_dbl(a)
+    # Round-invariant row-major point table: gathering (n, C) rows of
+    # C*4 contiguous bytes is ~50x faster on TPU than C strided gathers
+    # along the minor axis of (C, n) planes (measured: 107 ms -> ~2 ms per
+    # round at n=2^21, C=32).  One transpose per MSM, amortized.
+    row_counts = [int(np.prod(p.shape[:-1])) for p in pts]
+    PT = jnp.concatenate([p.reshape(-1, n) for p in pts], axis=0).T  # (n, C)
 
-        acc = lax.fori_loop(0, c, dbl_step, acc)
+    def gather_points(perm):
+        SPt = jnp.take(PT, perm, axis=0).T  # (C, n)
+        out, ofs = [], 0
+        for p, cnt in zip(pts, row_counts):
+            out.append(SPt[ofs:ofs + cnt].reshape(p.shape[:-1] + (n,)))
+            ofs += cnt
+        return tuple(out)
+
+    def round_body(r, acc):
+        acc = ops.c_dbl_n(acc, c)
 
         ri = rounds - 1 - r  # digit index from LSB
         limb_idx = (c * ri) // 16
@@ -240,7 +253,7 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
 
         perm = jnp.argsort(d)
         sd = jnp.take(d, perm)
-        spts = tuple(jnp.take(p, perm, axis=-1) for p in pts)
+        spts = gather_points(perm)
 
         scan, C, fr, sdb = _rake_segment_scan(ops, sd, spts, B, K)
 
