@@ -104,6 +104,31 @@ class JacobianOps:
     def c_mask_to_infinity(self, keep_mask, P):
         return group.proj_mask_to_infinity(keep_mask, P, self.spec)
 
+    def rake_scan(self, sd, pts, B: int, K: int):
+        """Fused MSM rake scan (msm/rake_pallas.py) when supported, else
+        None (caller falls back to the generic lax.scan composition)."""
+        if not gp.enabled(pts) or len(pts) != 2:
+            return None
+        from ..msm import rake_pallas
+
+        return rake_pallas.rake_scan(sd, pts, B, K, self.spec)
+
+    def pack_affine(self, pts):
+        """Affine table with limb pairs packed per u32 ((16, n): X pairs in
+        rows 0-7, Y pairs in 8-15), or None off-TPU.  Halves per-round MSM
+        gather elements (msm/pippenger.py round_body)."""
+        if not gp.enabled(pts) or len(pts) != 2:
+            return None
+        X, Y = pts
+        return jnp.concatenate(
+            [p[0::2] | (p[1::2] << jnp.uint32(16)) for p in (X, Y)], axis=0
+        )
+
+    def rake_scan_packed(self, dig_k, packed_k, B: int, K: int):
+        from ..msm import rake_pallas
+
+        return rake_pallas.rake_scan_packed(dig_k, packed_k, B, K, self.spec)
+
 
 @dataclasses.dataclass(frozen=True)
 class IntModOps:
@@ -141,6 +166,12 @@ class IntModOps:
         for _ in range(steps):
             P = self.dbl(P)
         return P
+
+    def rake_scan(self, sd, pts, B, K):
+        return None
+
+    def pack_affine(self, pts):
+        return None
 
     def j2c(self, P):
         return P

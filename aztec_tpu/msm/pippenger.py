@@ -119,42 +119,48 @@ def _rake_segment_scan(ops, sd, pts, B: int, K: int):
 
     sentinel = jnp.full((B,), 0x1FFFF, jnp.uint32)
     inf = ops.infinity((B,))
-    out0 = tuple(
-        jnp.zeros(i.shape + (K,), i.dtype) for i in inf
-    )
 
-    def step(k, carry):
-        accP, accd, out = carry
-        dk = lax.dynamic_index_in_dim(sdb, k, axis=1, keepdims=False)  # (B,)
-        Pk = tuple(
-            lax.dynamic_index_in_dim(p, k, axis=p.ndim - 1, keepdims=False)
-            for p in ptsb
-        )
-        same = dk == accd
-        added = ops.mixed_add_unsafe(accP, Pk)
-        fresh = ops.from_affine(Pk)
-        newP = ops.select(same, added, fresh)
-        out = tuple(
-            lax.dynamic_update_index_in_dim(o, v, k, axis=o.ndim - 1)
-            for o, v in zip(out, newP)
-        )
-        return (newP, dk, out)
+    scan = ops.rake_scan(sd, pts, B, K)
+    if scan is None:
+        # Generic composition via lax.scan (NOT fori_loop+dynamic_update:
+        # the fori carry of the (*, B, K) out arrays made XLA:TPU copy all
+        # ~384 MB of them every step).  On TPU, ops.rake_scan runs the
+        # whole state machine fused in one kernel instead (msm/
+        # rake_pallas.py) — bit-identical, ~6x faster.
+        sdk = jnp.swapaxes(sdb, 0, 1)  # (K, B)
+        ptsk = tuple(jnp.moveaxis(p, -1, 0) for p in ptsb)  # (K, *, B)
 
-    _, _, scan = lax.fori_loop(0, K, step, (inf, sentinel, out0))
+        def step(carry, xs):
+            accP, accd = carry
+            dk = xs[0]
+            Pk = tuple(xs[1:])
+            same = dk == accd
+            added = ops.mixed_add_unsafe(accP, Pk)
+            fresh = ops.from_affine(Pk)
+            newP = ops.select(same, added, fresh)
+            return (newP, dk), newP
 
-    # block summaries
+        (_, _), stacked = lax.scan(step, (inf, sentinel), (sdk,) + ptsk)
+        # stacked: tuple of (K, *, B) -> (*, B, K)
+        scan = tuple(jnp.moveaxis(s, 0, -1) for s in stacked)
+
+    T = tuple(s[..., K - 1] for s in scan)  # block-tail partials (width B)
+    C = _block_carries(ops, sdb, T, B, K)
+    fr = sdb == sdb[:, :1]  # first-run mask (sorted => contiguous prefix)
+    return scan, C, fr, sdb
+
+
+def _block_carries(ops, sdb, T, B: int, K: int):
+    """Cross-block carry for each block's first run: segmented scan of the
+    block-tail partials T (width B), rolled one block right, masked to
+    blocks whose first run continues the previous block's last run."""
     h = sdb[:, 0]
     t = sdb[:, K - 1]
-    T = tuple(s[..., K - 1] for s in scan)  # block-tail partials (width B)
     cont = jnp.concatenate([jnp.array([False]), h[1:] == t[:-1]])
     internal = jnp.any(sdb[:, 1:] != sdb[:, :-1], axis=1)
     flag = internal | ~cont
-
     scanned = _hillis_seg_scan(ops, T, flag)
-    C = ops.select(cont, _roll(scanned, 1), ops.infinity((B,)))
-
-    fr = sdb == h[:, None]  # first-run mask (sorted => contiguous prefix)
-    return scan, C, fr, sdb
+    return ops.select(cont, _roll(scanned, 1), ops.infinity((B,)))
 
 
 def _bucket_phase(ops, buckets, nbuckets: int, K2: int):
@@ -171,22 +177,16 @@ def _bucket_phase(ops, buckets, nbuckets: int, K2: int):
     rb = tuple(b.reshape(b.shape[:-1] + (B2, K2)) for b in rev)
 
     inf = ops.c_infinity((B2,))
-    out0 = tuple(jnp.zeros(i.shape + (K2,), i.dtype) for i in inf)
 
-    def step(k, carry):
-        acc, out = carry
-        Pk = tuple(
-            lax.dynamic_index_in_dim(b, k, axis=b.ndim - 1, keepdims=False)
-            for b in rb
-        )
-        acc = ops.c_add(acc, Pk)
-        out = tuple(
-            lax.dynamic_update_index_in_dim(o, v, k, axis=o.ndim - 1)
-            for o, v in zip(out, acc)
-        )
-        return (acc, out)
+    # scan, not fori+dynamic_update: see _rake_segment_scan
+    rbk = tuple(jnp.moveaxis(b, -1, 0) for b in rb)  # (K2, *, B2)
 
-    totals, local = lax.fori_loop(0, K2, step, (inf, out0))
+    def step(acc, xs):
+        acc = ops.c_add(acc, tuple(xs))
+        return acc, acc
+
+    totals, stacked = lax.scan(step, inf, rbk)
+    local = tuple(jnp.moveaxis(s, 0, -1) for s in stacked)
 
     # exclusive carry of lane totals
     scanned = _hillis_scan(ops, totals, ops.c_add)
@@ -242,6 +242,12 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
             ofs += cnt
         return tuple(out)
 
+    # K-major fused-rake path (TPU): pack the affine table once per MSM.
+    # Limb PAIRS per u32 halve the dominant per-round gather (the TPU
+    # gathers at ~1 element/cycle regardless of element content; measured
+    # 79 ms/round for 32 planes at n=2^21).
+    packed = ops.pack_affine(pts) if (B % 1024 == 0 and B >= 1024) else None
+
     def round_body(r, acc):
         acc = ops.c_dbl_n(acc, c)
 
@@ -253,37 +259,78 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
 
         perm = jnp.argsort(d)
         sd = jnp.take(d, perm)
-        spts = gather_points(perm)
+        sdb = sd.reshape(B, K)
 
-        scan, C, fr, sdb = _rake_segment_scan(ops, sd, spts, B, K)
+        if packed is not None:
+            # sorted position s = b*K + k maps to k-major dest j = k*B + b;
+            # composing that reorder into the gather indices means the
+            # fused rake kernel's K-major layout costs no extra transpose
+            jr = jnp.arange(n, dtype=jnp.int32)
+            s_of_j = (jr % B) * K + (jr // B)
+            permk = jnp.take(perm, s_of_j)
+            sdk = jnp.take(d, permk)
+            SPk = jnp.take(packed, permk, axis=1)        # (16, n) minor
+            dig_k = sdk.reshape(K, B // 128, 128)
+            pk = (SPk.reshape(16, K, B).transpose(1, 0, 2)
+                  .reshape(16 * K, B // 128, 128))
+            scan_k = ops.rake_scan_packed(dig_k, pk, B, K)
+            T = tuple(sc[(K - 1) * 16:].reshape(16, B) for sc in scan_k)
+            C = _block_carries(ops, sdb, T, B, K)
+            fr_flat = (sdb == sdb[:, :1]).reshape(n)
+        else:
+            spts = gather_points(perm)
+            scan, C, fr, _ = _rake_segment_scan(ops, sd, spts, B, K)
+            fr_flat = fr.reshape(n)
 
-        # global tail mask
-        tail = jnp.concatenate([sd[1:] != sd[:-1], jnp.array([True])])
-        tailb = tail.reshape(B, K)
-
-        # scatter (a): tails not in the first run of their block
-        vals_flat = tuple(s.reshape(s.shape[:-2] + (n,)) for s in scan)
-        fr_flat = fr.reshape(n)
-        idx_a = jnp.where(tail & ~fr_flat & (sd > 0), sd, nbuckets)
-        buckets = ops.infinity((nbuckets,))
-        buckets = tuple(
-            b.at[..., idx_a].set(v, mode="drop")
-            for b, v in zip(buckets, vals_flat)
+        # Bucket fill by GATHER, not scatter (sorted-run geometry): digit
+        # j's run tail sits at edges[j+1]-1 where edges[j] = #digits < j.
+        # The former scatter formulation also needed a per-block
+        # (b, kstar[b]) minor-axis gather for the first-run fixup — the
+        # slowest memory pattern on TPU; here every access is either a
+        # searchsorted or a contiguous-row gather.
+        edges = jnp.searchsorted(
+            sd, jnp.arange(nbuckets + 1).astype(sd.dtype)
         )
+        jidx = jnp.arange(nbuckets)
+        count_j = edges[1:] - edges[:-1]
+        valid = (count_j > 0) & (jidx > 0)
+        tc = jnp.clip(edges[1:].astype(jnp.int32) - 1, 0, n - 1)  # tail pos
 
-        # scatter (b): first-run tails, corrected by the incoming carry
-        count = jnp.sum(fr, axis=1)  # first-run length per block (>= 1)
-        kstar = count - 1
-        bidx = jnp.arange(B)
-        first_tail_val = tuple(s[..., bidx, kstar] for s in scan)
-        corrected = ops.add_unsafe(first_tail_val, C)
-        h = sdb[:, 0]
-        is_tail_b = tailb[bidx, kstar]
-        idx_b = jnp.where(is_tail_b & (h > 0), h, nbuckets)
-        buckets = tuple(
-            b.at[..., idx_b].set(v, mode="drop")
-            for b, v in zip(buckets, corrected)
-        )
+        if packed is not None:
+            # scan_k flat index of (step k, limb i, lane b) = (k*16+i)*B + b
+            kpos = tc % K
+            bpos = tc // K
+            li = jnp.arange(16, dtype=jnp.int32)
+            idx = (kpos[None, :] * 16 + li[:, None]) * B + bpos[None, :]
+            g = tuple(jnp.take(sc.reshape(-1), idx) for sc in scan_k)
+            cg = tuple(jnp.take(cc, bpos, axis=-1) for cc in C)
+        else:
+            # gather scan rows at the tail positions (row-major trick)
+            svals = [s.reshape((-1, n)) for s in scan]
+            SV = jnp.concatenate(svals, axis=0)           # (R, n)
+            SR = jnp.take(SV.T, tc, axis=0).T             # (R, nbuckets)
+            g, ofs = [], 0
+            for s, v in zip(scan, svals):
+                g.append(SR[ofs:ofs + v.shape[0]]
+                         .reshape(s.shape[:-2] + (nbuckets,)))
+                ofs += v.shape[0]
+            g = tuple(g)
+            blk = (tc // K).astype(jnp.int32)
+            cvals = [cc.reshape((-1, B)) for cc in C]
+            CR = jnp.concatenate(cvals, axis=0)           # (Rc, B)
+            CB = jnp.take(CR.T, blk, axis=0).T            # (Rc, nbuckets)
+            cg, ofs = [], 0
+            for cc, v in zip(C, cvals):
+                cg.append(CB[ofs:ofs + v.shape[0]]
+                          .reshape(cc.shape[:-1] + (nbuckets,)))
+                ofs += v.shape[0]
+            cg = tuple(cg)
+
+        # first-run tails need the cross-block carry added
+        frj = jnp.take(fr_flat, tc)
+        carry = ops.select(frj & valid, cg, ops.infinity((nbuckets,)))
+        bt = ops.add_unsafe(g, carry)
+        buckets = ops.select(valid, bt, ops.infinity((nbuckets,)))
 
         W = _bucket_phase(ops, ops.j2c(buckets), nbuckets, bucket_block)
         return ops.c_add(acc, W)

@@ -164,9 +164,10 @@ def worker():
     for _ in range(nmax - 1):
         taus.append(taus[-1] * tau % FR_MOD)
     tau_limbs = ints_to_limbs(taus)
-    scal_limbs = ints_to_limbs(
-        [int.from_bytes(rng.bytes(32), "little") % FR_MOD for _ in range(nmax)]
-    )
+    scal_ints = [
+        int.from_bytes(rng.bytes(32), "little") % FR_MOD for _ in range(nmax)
+    ]
+    scal_limbs = ints_to_limbs(scal_ints)
 
     def get_points(log2n):
         """SRS-like affine points (tau^i * G, Montgomery planes), disk-cached
@@ -213,6 +214,9 @@ def worker():
         return (jnp.asarray(Xall.astype(np.uint32)),
                 jnp.asarray(Yall.astype(np.uint32)))
 
+    from aztec_tpu.curves import golden
+    from aztec_tpu.curves.io import jacobian_to_host
+
     for log2n in SIZES:
         n = 1 << log2n
         try:
@@ -221,10 +225,28 @@ def worker():
             r = msm((X, Y), scalars, BN254_G1)  # warm-up (compile)
             r[0].block_until_ready()
 
+            # correctness gate: points are tau^i * G, so the expected MSM
+            # result is (sum_i k_i tau^i mod r) * G — one host scalar-mul
+            if log2n <= 14:
+                kk = sum(
+                    s * t for s, t in zip(scal_ints[:n], taus[:n])
+                ) % BN254_G1.order
+                expect = golden.GoldenCurve(BN254_G1).mul(
+                    kk, (BN254_G1.gen_x, BN254_G1.gen_y))
+                got = jacobian_to_host(r, BN254_G1)
+                if got != expect:
+                    raise RuntimeError("MSM result mismatch vs host golden")
+                print(f"# 2^{log2n} correctness OK", file=sys.stderr,
+                      flush=True)
+
+            # dependency-chained timing: the TPU tunnel memoizes identical
+            # (executable, args) executions, so same-args loops read ~0
             iters = 3 if log2n < 20 else 2
             t1 = time.perf_counter()
-            for _ in range(iters):
-                r = msm((X, Y), scalars, BN254_G1)
+            for it in range(iters):
+                tweak = (r[0][0, 0] & jnp.uint32(1)) + jnp.uint32(it)
+                sc2 = scalars.at[0, 0].set(scalars[0, 0] ^ tweak)
+                r = msm((X, Y), sc2, BN254_G1)
             r[0].block_until_ready()
             dt = (time.perf_counter() - t1) / iters
             print(f"#RESULT {log2n} {n / dt}", flush=True)

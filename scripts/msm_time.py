@@ -43,10 +43,16 @@ def main():
         r = msm((X, Y), scal, BN254_G1)
         jax.block_until_ready(r)
         comp = time.time() - t0
+        # dependency-chain iterations: the axon tunnel memoizes identical
+        # (executable, args) executions, so same-args timing loops read ~0
+        # (measured round 3); xor-ing a result byte into the scalars forces
+        # a fresh execution every iteration at negligible cost.
         iters = 4
         t0 = time.time()
         for _ in range(iters):
-            r = msm((X, Y), scal, BN254_G1)
+            tweak = (r[0][0, 0] & jnp.uint32(1)).astype(jnp.uint32)
+            scal2 = scal.at[0, 0].set(scal[0, 0] ^ tweak)
+            r = msm((X, Y), scal2, BN254_G1)
         jax.block_until_ready(r)
         dt = (time.time() - t0) / iters
         print(f"2^{log2n}: {dt*1e3:9.1f} ms/MSM  {n/dt:.3e} points/s  "
