@@ -258,26 +258,31 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
         d = (limb_row >> jnp.uint32(shift)) & mask_c  # (n,)
 
         perm = jnp.argsort(d)
-        sd = jnp.take(d, perm)
-        sdb = sd.reshape(B, K)
 
         if packed is not None:
-            # sorted position s = b*K + k maps to k-major dest j = k*B + b;
-            # composing that reorder into the gather indices means the
-            # fused rake kernel's K-major layout costs no extra transpose
-            jr = jnp.arange(n, dtype=jnp.int32)
-            s_of_j = (jr % B) * K + (jr // B)
-            permk = jnp.take(perm, s_of_j)
-            sdk = jnp.take(d, permk)
-            SPk = jnp.take(packed, permk, axis=1)        # (16, n) minor
-            dig_k = sdk.reshape(K, B // 128, 128)
+            # ONE gather per round: digits ride as row 16 of the gathered
+            # operand (gather cost on TPU is dominated by the number of
+            # gathered COLUMNS, so extra rows are nearly free while a
+            # second 2^21-index gather costs ~20 ms).  The K-major reorder
+            # (sorted s = b*K + k -> dest j = k*B + b) is composed into
+            # the permutation by a cheap 8 MB transpose, NOT a gather.
+            permk = perm.reshape(B, K).T.reshape(n)
+            combined = jnp.concatenate([packed, d[None, :]], axis=0)
+            G = jnp.take(combined, permk, axis=1)        # (17, n) minor
+            SPk = G[:16]
+            sdk_flat = G[16]                              # k-major digits
+            sd = sdk_flat.reshape(K, B).T.reshape(n)      # n-order sorted
+            sdb = sd.reshape(B, K)
+            dig_k = sdk_flat.reshape(K, B // 128, 128)
             pk = (SPk.reshape(16, K, B).transpose(1, 0, 2)
                   .reshape(16 * K, B // 128, 128))
-            scan_k = ops.rake_scan_packed(dig_k, pk, B, K)
-            T = tuple(sc[(K - 1) * 16:].reshape(16, B) for sc in scan_k)
+            scan_k = ops.rake_scan_packed(dig_k, pk, B, K)  # 3 x (16, n)
+            T = tuple(sc.reshape(16, n)[:, (K - 1) * B:] for sc in scan_k)
             C = _block_carries(ops, sdb, T, B, K)
             fr_flat = (sdb == sdb[:, :1]).reshape(n)
         else:
+            sd = jnp.take(d, perm)
+            sdb = sd.reshape(B, K)
             spts = gather_points(perm)
             scan, C, fr, _ = _rake_segment_scan(ops, sd, spts, B, K)
             fr_flat = fr.reshape(n)
@@ -297,12 +302,13 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
         tc = jnp.clip(edges[1:].astype(jnp.int32) - 1, 0, n - 1)  # tail pos
 
         if packed is not None:
-            # scan_k flat index of (step k, limb i, lane b) = (k*16+i)*B + b
+            # scan_k is (16, n) K-major: tail (k, b) sits at column k*B + b
             kpos = tc % K
             bpos = tc // K
-            li = jnp.arange(16, dtype=jnp.int32)
-            idx = (kpos[None, :] * 16 + li[:, None]) * B + bpos[None, :]
-            g = tuple(jnp.take(sc.reshape(-1), idx) for sc in scan_k)
+            tk = kpos * B + bpos
+            g = tuple(
+                jnp.take(sc.reshape(16, n), tk, axis=1) for sc in scan_k
+            )
             cg = tuple(jnp.take(cc, bpos, axis=-1) for cc in C)
         else:
             # gather scan rows at the tail positions (row-major trick)

@@ -186,18 +186,26 @@ def _rake_packed_call(spec: FieldSpec, B: int, K: int):
                             memory_space=pltpu.VMEM)
     pt_spec = pl.BlockSpec((L, ROWS, 128), lambda b, k: (k, b, 0),
                            memory_space=pltpu.VMEM)
+    # outputs laid out (16, K*Bg, 128) = plain (16, n) planes in K-major
+    # element order: downstream consumers (tail gathers, block-tail slices)
+    # then use cheap minor-axis gathers/slices instead of 2D-index flat
+    # gathers (which cost ~75 ms/round; measured round 3)
+    out_spec = pl.BlockSpec(
+        (L, ROWS, 128), lambda b, k: (0, k * (Bg // ROWS) + b, 0),
+        memory_space=pltpu.VMEM,
+    )
 
     @jax.jit
     def call(dig, packed):
         return pl.pallas_call(
             kernel,
             out_shape=tuple(
-                jax.ShapeDtypeStruct((K * L, Bg, 128), jnp.uint32)
+                jax.ShapeDtypeStruct((L, K * Bg, 128), jnp.uint32)
                 for _ in range(3)
             ),
             grid=(Bg // ROWS, K),
             in_specs=[dig_spec, pt_spec],
-            out_specs=(pt_spec, pt_spec, pt_spec),
+            out_specs=(out_spec, out_spec, out_spec),
             scratch_shapes=[
                 pltpu.VMEM((L, ROWS, 128), jnp.uint32),
                 pltpu.VMEM((L, ROWS, 128), jnp.uint32),
@@ -215,7 +223,8 @@ def rake_scan_packed(dig_k, packed_k, B: int, K: int, spec: FieldSpec):
 
     dig_k: (K, B/128, 128) digits; packed_k: (K*16, B/128, 128) with row
     k*16+j = packed limb-pair j (X pairs then Y pairs) of sorted position
-    (k, b).  Returns scan (X, Y, Z) each (K*16, B/128, 128), K-major."""
+    (k, b).  Returns scan (X, Y, Z) each (16, K*B/128, 128) — i.e. plain
+    (16, n) limb planes in K-major element order j = k*B + b."""
     if not _supported(B):
         return None
     return _rake_packed_call(spec, B, K)(dig_k, packed_k)
