@@ -1,0 +1,93 @@
+"""Full prover wall-clock on TPU (north-star #2; VERDICT r2 next-step #4).
+
+Builds a 2^k-gate circuit, proves it once cold (compiles), then rebuilds
+the SAME circuit shape with DIFFERENT witness values and times that
+second construct_proof — fresh data defeats the tunnel's identical-
+execution memoization while every jit stays cache-warm, so the number is
+honest prover wall-clock.
+
+    python tools/prover_bench.py [log2_gates] [turbo|ultra|standard]
+
+Reference analog: plonk_bench/plonk.bench.cpp:11-105 (construct_proof
+over circuit sizes on a multicore CPU host).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aztec_tpu.utils import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
+
+import jax  # noqa: E402
+
+
+def build(kind: str, ngates: int, seed: int):
+    from aztec_tpu.plonk.composer import (
+        StandardComposer, TurboComposer, UltraComposer, MulTriple)
+
+    cls = {"standard": StandardComposer, "turbo": TurboComposer,
+           "ultra": UltraComposer}[kind]
+    c = cls()
+    c.create_dummy_gates()
+    pub = c.add_public_variable(seed + 1)
+    a = c.add_variable(seed + 3)
+    import random
+
+    rng = random.Random(seed)
+    # chain of mul gates: each gate's output feeds the next -> no two
+    # proofs share witness polynomials
+    r = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+    va = seed + 3
+    while c.num_gates < ngates:
+        m = rng.randrange(1, 1 << 30)
+        vb = m
+        vc = va * vb % r
+        b = c.add_variable(vb)
+        cv = c.add_variable(vc)
+        c.create_mul_gate(MulTriple(a, b, cv, 1, -1, 0))
+        a, va = cv, vc
+    return c
+
+
+def main():
+    log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 17
+    kind = sys.argv[2] if len(sys.argv) > 2 else "turbo"
+    ngates = (1 << log2n) - 512  # leave room for blinding/dummy rows
+    print(f"backend={jax.devices()[0]} kind={kind} gates~2^{log2n}",
+          flush=True)
+
+    t0 = time.time()
+    c1 = build(kind, ngates, seed=101)
+    print(f"circuit built in {time.time()-t0:.0f}s "
+          f"({c1.num_gates} gates)", flush=True)
+
+    t0 = time.time()
+    p1 = c1.create_prover()
+    proof1 = p1.construct_proof()
+    t_cold = time.time() - t0
+    print(f"cold prove (compiles included): {t_cold:.1f}s", flush=True)
+
+    ok = c1.create_verifier().verify_proof(proof1)
+    print(f"verify: {ok}", flush=True)
+    assert ok
+
+    t0 = time.time()
+    c2 = build(kind, ngates, seed=202)
+    print(f"second circuit built in {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    p2 = c2.create_prover()
+    proof2 = p2.construct_proof()
+    t_warm = time.time() - t0
+    n = 1 << log2n
+    print(f"WARM prove wall-clock: {t_warm:.2f}s  "
+          f"({n/t_warm:.3e} gates/s)", flush=True)
+    ok2 = c2.create_verifier().verify_proof(proof2)
+    print(f"verify2: {ok2}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
