@@ -689,8 +689,9 @@ class UltraComposer(TurboComposer):
         return UltraFlavor
 
     def _unrolled_flavor(self):
-        # ultra is already unlinearised; recursion settings come later
-        return self._flavor()
+        from .flavors import UnrolledUltraFlavor
+
+        return UnrolledUltraFlavor
 
     # -- tables / lookup gates -------------------------------------------------
     def add_lookup_table(self, table) -> None:
@@ -806,7 +807,15 @@ class UltraComposer(TurboComposer):
         aux = {"tables": list(self.tables.values()), "lookups": self._lookups}
         return Prover(pk, wires, pubvals, self._flavor(), aux=aux)
 
-    create_unrolled_prover = create_prover
+    def create_unrolled_prover(self):
+        """Recursion-friendly prover: identical polynomial work, Pedersen+
+        Blake2s transcript (flavors.UnrolledUltraFlavor)."""
+        from .prover import Prover
+
+        pk = self.compute_proving_key()
+        wires, pubvals = self.compute_witness()
+        aux = {"tables": list(self.tables.values()), "lookups": self._lookups}
+        return Prover(pk, wires, pubvals, self._unrolled_flavor(), aux=aux)
 
 
 class MiMCComposer(StandardComposer):

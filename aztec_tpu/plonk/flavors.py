@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from ..ff.bn254 import FR_MOD, FR_COSET_GENERATORS
 from .manifests import (
-    STANDARD, TURBO, UNROLLED_STANDARD, UNROLLED_TURBO, ULTRA, MIMC,
+    STANDARD, TURBO, UNROLLED_STANDARD, UNROLLED_TURBO, ULTRA,
+    UNROLLED_ULTRA, MIMC,
 )
 from . import kernels
 from .proving_key import fr_mont
@@ -474,10 +475,21 @@ class UltraFlavor(TurboFlavor):
         return t
 
 
+class UnrolledUltraFlavor(UltraFlavor):
+    """UltraPlonk with the recursion transcript (Pedersen+Blake2s, 16-byte
+    challenges).  The quotient math is UltraFlavor's — ultra is already
+    unlinearised — only the Fiat-Shamir hashing changes, so proofs of this
+    flavor can be re-verified inside an outer circuit
+    (stdlib/recursion_verifier.py)."""
+
+    settings = UNROLLED_ULTRA
+
+
 FLAVORS = {
     "standard": StandardFlavor,
     "turbo": TurboFlavor,
     "unrolled_standard": UnrolledStandardFlavor,
     "unrolled_turbo": UnrolledTurboFlavor,
     "ultra": UltraFlavor,
+    "unrolled_ultra": UnrolledUltraFlavor,
 }

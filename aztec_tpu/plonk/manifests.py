@@ -349,6 +349,22 @@ def ultra_manifest(num_public_inputs: int) -> Manifest:
     )
 
 
+def ultra_unrolled_manifest(num_public_inputs: int) -> Manifest:
+    """Recursion-friendly UltraPlonk manifest: identical element stream to
+    ultra_manifest (ultra is already unlinearised, so every evaluation is
+    in the clear), but 3 separator challenges for accumulator chaining in
+    the outer circuit — the unrolled-turbo convention
+    (ref: turbo_composer.hpp:162-215 create_unrolled_manifest)."""
+    base = ultra_manifest(num_public_inputs)
+    rounds = list(base.rounds)
+    rounds[-1] = RM(
+        elements=(E("PI_Z", G1_SIZE, False), E("PI_Z_OMEGA", G1_SIZE, False)),
+        challenge="separator",
+        num_challenges=3,
+    )
+    return Manifest(rounds=tuple(rounds))
+
+
 # ---- polynomial manifest ----------------------------------------------------
 
 WITNESS, SELECTOR, PERMUTATION = "witness", "selector", "permutation"
@@ -514,6 +530,22 @@ class UltraSettings(TurboSettings):
 
 
 @dataclasses.dataclass(frozen=True)
+class UnrolledUltraSettings(UltraSettings):
+    """UltraPlonk for in-circuit recursive verification: the plookup
+    argument with the Pedersen+Blake2s transcript and 16-byte challenges
+    (BASELINE config 5 'UltraPlonk + recursive aggregation'; ref design:
+    prover_settings.hpp:57-68 unrolled settings + polynomial_manifest.hpp:
+    23-46 plookup slots)."""
+
+    name: str = "unrolled_ultra"
+    num_challenge_bytes: int = 16
+    hash_type: str = "pedersen_blake2s"
+
+    def create_manifest(self, num_public_inputs: int) -> Manifest:
+        return ultra_unrolled_manifest(num_public_inputs)
+
+
+@dataclasses.dataclass(frozen=True)
 class MimcSettings(StandardSettings):
     """ref: mimc_composer.hpp — standard width-3 scheme + the MiMC x^7
     gate (q_mimc_coefficient / q_mimc_selector)."""
@@ -530,4 +562,5 @@ TURBO = TurboSettings()
 UNROLLED_STANDARD = UnrolledStandardSettings()
 UNROLLED_TURBO = UnrolledTurboSettings()
 ULTRA = UltraSettings()
+UNROLLED_ULTRA = UnrolledUltraSettings()
 MIMC = MimcSettings()

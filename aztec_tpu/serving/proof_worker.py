@@ -19,6 +19,8 @@ proof_id (ref: rollup_cli/main.cpp:131-149):
   0x200  join_split verification key (no body; u32-prefixed JSON reply —
          halloumi getJoinSplitVk, server.ts:34-36)
   0x201  account verification key (halloumi getAccountVk, server.ts:38-40)
+  0x202  VK of the tx-rollup circuit proved by the last proof_id-0 request
+         (u32-prefixed JSON; the root-rollup frame carries this VK)
 
 Deviations from rollup_cli: tx bodies are u32-length-prefixed (the
 reference streams them unframed), and proof_id 1 carries the inner-rollup
@@ -61,9 +63,11 @@ def _build_demo_circuit(kind: str, num_gates: int):
     return c
 
 
-def _create_tx_rollup(body_stream, log):
+def _create_tx_rollup(body_stream, log, state=None):
     """proof_id 0 (ref: rollup_cli/main.cpp:31-66): prove an inner rollup
-    over the received tx proofs.  Returns (proof_bytes, verified)."""
+    over the received tx proofs.  Returns (proof_bytes, verified).  The
+    circuit's unrolled-turbo VK is cached in ``state`` for the 0x202
+    query (the root-rollup client needs it to assemble its frame)."""
     from ..plonk.composer import TurboComposer
     from ..rollup.circuit_data import join_split_circuit_data
     from ..rollup.rollup_circuit import rollup_circuit
@@ -88,10 +92,18 @@ def _create_tx_rollup(body_stream, log):
         return b"", False
     proof = composer.create_unrolled_prover().construct_proof()
     ok = composer.create_unrolled_verifier().verify_proof(proof)
+    if state is not None:
+        import dataclasses as _dc
+
+        from ..plonk import manifests
+
+        state["tx_rollup_vk"] = _dc.replace(
+            composer.compute_verification_key(),
+            settings=manifests.UNROLLED_TURBO)
     return proof, ok
 
 
-def _create_root_rollup(body_stream, log):
+def _create_root_rollup(body_stream, log, state=None):
     """proof_id 1 (ref: rollup_cli/main.cpp:68-113)."""
     from ..plonk.composer import TurboComposer
     from ..rollup.root_rollup_circuit import root_rollup_circuit
@@ -146,7 +158,7 @@ def serve(stdin=None, stdout=None, log=sys.stderr):
         if proof_id in (0, 1):
             try:
                 fn = _create_tx_rollup if proof_id == 0 else _create_root_rollup
-                proof, ok = fn(stdin, log)
+                proof, ok = fn(stdin, log, state=circuits)
             except EOFError:
                 return
             except Exception as e:  # reject, keep serving
@@ -167,6 +179,20 @@ def serve(stdin=None, stdout=None, log=sys.stderr):
             proof = c.create_prover().construct_proof()
             ok = c.create_verifier().verify_proof(proof)
             stdout.write(struct.pack(">I", len(proof)) + proof)
+            stdout.write(b"\x01" if ok else b"\x00")
+            stdout.flush()
+        elif proof_id == 0x202:
+            # VK of the tx-rollup circuit proved by the last id-0 request
+            # (the root-rollup frame carries this VK; the reference instead
+            # recomputes it from persisted circuit data)
+            from ..utils.fixtures import vk_to_json
+
+            vk = circuits.get("tx_rollup_vk")
+            if vk is None:
+                payload, ok = b"", False
+            else:
+                payload, ok = vk_to_json(vk).encode(), True
+            stdout.write(struct.pack(">I", len(payload)) + payload)
             stdout.write(b"\x01" if ok else b"\x00")
             stdout.flush()
         elif proof_id in (0x200, 0x201):

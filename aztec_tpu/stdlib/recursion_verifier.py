@@ -12,8 +12,10 @@ pairing inputs P0, P1 surface as 16 public inputs of 68-bit limbs
 its recursive-accumulator path (plonk/verifier.py:183-197; ref:
 verifier.cpp:173-208).
 
-Inner proofs may use the unrolled-standard OR unrolled-turbo flavor
-(PedersenBlake2s 16-byte challenges, no linearisation).  Inner VKs enter
+Inner proofs may use the unrolled-standard, unrolled-turbo, or
+unrolled-ultra (plookup) flavor (PedersenBlake2s 16-byte challenges, no
+linearisation; the ultra path adds the lookup grand-product quotient
+terms, _lookup_t_circuit).  Inner VKs enter
 either as circuit constants (fixed-VK case, e.g. root_rollup) or as
 witnesses via `RecursiveVK.from_witness` + `validate_key_is_in_set`
 (ref: stdlib/recursion/verification_key/verification_key.hpp) — the
@@ -40,6 +42,7 @@ from ..curves.pairing import g1_mul, g1_neg
 from ..plonk.manifests import (
     standard_unrolled_manifest,
     turbo_unrolled_manifest,
+    ultra_unrolled_manifest,
 )
 from ..transcript.manifest import Manifest
 from .field_t import FieldT
@@ -436,6 +439,33 @@ def _turbo_nonlinear_t(ev: Dict[str, FieldT], ap: List[FieldT]) -> FieldT:
     return (t + gate_id * q_ecc).normalize()
 
 
+def _lookup_t_circuit(ev: Dict[str, FieldT], eta: FieldT, beta: FieldT,
+                      gamma: FieldT, ap: List[FieldT], l_start: FieldT,
+                      l_end: FieldT) -> FieldT:
+    """In-circuit plookup quotient contribution — transliteration of
+    plonk.flavors.UltraFlavor._lookup_t_terms (docs/ULTRA_DESIGN.md;
+    ref design: polynomial_manifest.hpp:23-46 plookup slots)."""
+    F = ev["q_lookup"] * (
+        ev["w_1"] + eta * (ev["w_2"] + eta * (ev["w_3"]
+                                              + eta * ev["q_index"]))
+    )
+    T = (ev["table_1"] + eta * (ev["table_2"] + eta * (ev["table_3"]
+         + eta * ev["table_4"])))
+    Tw = (ev["table_1_omega"] + eta * (ev["table_2_omega"]
+          + eta * (ev["table_3_omega"] + eta * ev["table_4_omega"])))
+    one_p_beta = (beta + 1).normalize()
+    gamma_pb = (gamma * one_p_beta).normalize()
+    num = (one_p_beta * (F + gamma) * (T + Tw * beta + gamma_pb)
+           * ev["z_lookup"])
+    den = ((ev["s_1"] + ev["s_2"] * beta + gamma_pb)
+           * (ev["s_2"] + ev["s_1_omega"] * beta + gamma_pb)
+           * ev["z_lookup_omega"])
+    t = (num - den) * ap[21]
+    t = t + (ev["z_lookup"] - 1) * l_start * ap[22]
+    t = t + (ev["z_lookup_omega"] - 1) * l_end * ap[23]
+    return t.normalize()
+
+
 def verify_proof_circuit(ctx, proof: bytes, vk,
                          manifest: Manifest | None = None,
                          previous_output: Optional[RecursionOutput] = None,
@@ -451,10 +481,15 @@ def verify_proof_circuit(ctx, proof: bytes, vk,
     num_pub = vk.num_public_inputs
     root = vk.domain_root
     flavor = vk.settings.name
-    width = 4 if flavor in ("unrolled_turbo", "turbo") else 3
+    is_ultra = flavor in ("ultra", "unrolled_ultra")
+    width = 4 if is_ultra or flavor in ("unrolled_turbo", "turbo") else 3
     if manifest is None:
-        manifest = (turbo_unrolled_manifest(num_pub) if width == 4
-                    else standard_unrolled_manifest(num_pub))
+        if is_ultra:
+            manifest = ultra_unrolled_manifest(num_pub)
+        elif width == 4:
+            manifest = turbo_unrolled_manifest(num_pub)
+        else:
+            manifest = standard_unrolled_manifest(num_pub)
 
     rt = RecursiveTranscript(ctx, manifest)
     rt.add_element_native("circuit_size", n.to_bytes(4, "big"),
@@ -499,10 +534,14 @@ def verify_proof_circuit(ctx, proof: bytes, vk,
     t_eval = _perm_t_unrolled(ev, alpha, beta, gamma, zeta, l_start, l_end,
                               delta, width=width)
     if width == 4:
-        ap = _alpha_powers(alpha, 17)
+        ap = _alpha_powers(alpha, 23 if is_ultra else 17)
         t_eval = t_eval + _turbo_nonlinear_t(ev, ap)
         for sel, scalar in _turbo_selector_scalars(ev, ap).items():
             t_eval = t_eval + scalar * ev[sel]
+        if is_ultra:
+            eta = rt.get_challenge("eta")
+            t_eval = t_eval + _lookup_t_circuit(ev, eta, beta, gamma, ap,
+                                                l_start, l_end)
     else:
         for sel, scalar in _arith_scalars(ev, alpha).items():
             t_eval = t_eval + scalar * ev[sel]

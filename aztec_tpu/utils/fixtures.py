@@ -115,6 +115,7 @@ def vk_from_json(s: str):
         "unrolled_standard": manifests.UNROLLED_STANDARD,
         "unrolled_turbo": manifests.UNROLLED_TURBO,
         "ultra": manifests.ULTRA,
+        "unrolled_ultra": manifests.UNROLLED_ULTRA,
     }[d["settings"]]
 
     def dec_pt(p):

@@ -167,3 +167,37 @@ def test_recursive_verifier_turbo_matches_native():
     assert out.P1.get_value() == expected[1]
     assert len(out.public_inputs) == nv.key.num_public_inputs
     assert check_turbo(outer) == []
+
+
+@pytest.mark.skipif(os.environ.get("AZTEC_HEAVY") != "1",
+                    reason="~2M-gate outer circuit; set AZTEC_HEAVY=1")
+def test_recursive_verifier_ultra_matches_native():
+    """Unrolled-ULTRA (plookup) inner proof re-verified in-circuit —
+    BASELINE config 5 'UltraPlonk + recursive aggregation'.  The in-circuit
+    quotient reconstruction includes the lookup grand-product terms
+    (_lookup_t_circuit)."""
+    from aztec_tpu.plonk.composer import MulTriple, UltraComposer
+    from aztec_tpu.plonk.lookup_tables import xor_table
+
+    inner = UltraComposer()
+    inner.add_lookup_table(xor_table(2, index=2))
+    out_idx = inner.read_from_table(2, inner.add_variable(1),
+                                    inner.add_variable(2))
+    assert inner.get_variable(out_idx) == 3
+    a = inner.add_variable(5)
+    b = inner.add_variable(7)
+    p = inner.add_variable(35)
+    inner.create_mul_gate(MulTriple(a, b, p, 1, -1, 0))
+
+    proof = inner.create_unrolled_prover().construct_proof()
+    nv = inner.create_unrolled_verifier()
+    assert nv.verify_proof(proof)
+    expected = nv.pairing_inputs(proof)
+    assert expected is not None
+
+    outer = _ctx()
+    out = verify_proof_circuit(outer, proof, nv.key)
+    assert not outer.failed, outer.err
+    assert out.P0.get_value() == expected[0]
+    assert out.P1.get_value() == expected[1]
+    assert check_turbo(outer) == []

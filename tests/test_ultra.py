@@ -93,3 +93,27 @@ def test_ultra_public_inputs():
     y = c.add_variable(14)
     c.create_add_gate(AddTriple(x, x, y, 1, 1, -1, 0))
     _finish(c)
+
+
+def test_unrolled_ultra_roundtrip():
+    """Recursion-flavor ultra proof (Pedersen+Blake2s, 16-byte challenges)
+    roundtrips natively and exposes pairing accumulators — the inner half
+    of BASELINE config 5 (UltraPlonk + recursive aggregation)."""
+    c = UltraComposer()
+    c.add_lookup_table(xor_table(2, index=2))
+    out = c.read_from_table(2, c.add_variable(2), c.add_variable(3))
+    assert c.get_variable(out) == 2 ^ 3
+    a = c.add_variable(4)
+    b = c.add_variable(6)
+    p = c.add_variable(24)
+    c.create_mul_gate(MulTriple(a, b, p, 1, -1, 0))
+    assert not c.failed, c.err
+    prover = c.create_unrolled_prover()
+    assert prover.settings.name == "unrolled_ultra"
+    assert prover.settings.hash_type == "pedersen_blake2s"
+    proof = prover.construct_proof()
+    nv = c.create_unrolled_verifier()
+    assert nv.verify_proof(proof), "unrolled-ultra proof rejected"
+    assert nv.pairing_inputs(proof) is not None
+    # the keccak-flavor verifier must NOT accept it (different transcript)
+    assert not c.create_verifier().verify_proof(proof)
