@@ -129,6 +129,16 @@ class JacobianOps:
 
         return rake_pallas.rake_scan_packed(dig_k, packed_k, B, K, self.spec)
 
+    def bucket_phase(self, buckets, nbuckets: int):
+        """Fused bucket phase (msm/bucket_pallas.py) from JACOBIAN bucket
+        planes; None when unsupported (caller uses the XLA composition)."""
+        if not gp.enabled(buckets):
+            return None
+        from ..msm import bucket_pallas
+
+        return bucket_pallas.bucket_phase(buckets, nbuckets, self.spec,
+                                          self.curve.b)
+
 
 @dataclasses.dataclass(frozen=True)
 class IntModOps:
@@ -171,6 +181,9 @@ class IntModOps:
         return None
 
     def pack_affine(self, pts):
+        return None
+
+    def bucket_phase(self, buckets, nbuckets):
         return None
 
     def j2c(self, P):

@@ -338,7 +338,9 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
         bt = ops.add_unsafe(g, carry)
         buckets = ops.select(valid, bt, ops.infinity((nbuckets,)))
 
-        W = _bucket_phase(ops, ops.j2c(buckets), nbuckets, bucket_block)
+        W = ops.bucket_phase(buckets, nbuckets)
+        if W is None:
+            W = _bucket_phase(ops, ops.j2c(buckets), nbuckets, bucket_block)
         return ops.c_add(acc, W)
 
     acc0 = ops.c_infinity((1,))

@@ -123,13 +123,27 @@ def _rake_call(spec: FieldSpec, B: int, K: int):
     return call
 
 
+def _unroll_for(K: int) -> int:
+    """K-steps per grid invocation: amortizes per-invocation pipeline
+    overhead (measured round 3: 2048 invocations x ~27 us wall vs ~9 us
+    of arithmetic at B=2^15, K=64).  Env override AZTEC_RAKE_UNROLL."""
+    import os
+
+    u = int(os.environ.get("AZTEC_RAKE_UNROLL", "8"))
+    while u > 1 and K % u:
+        u //= 2
+    return max(u, 1)
+
+
 @functools.lru_cache(maxsize=None)
 def _rake_packed_call(spec: FieldSpec, B: int, K: int):
     """Packed-input variant: one (K*16, B/128, 128) operand carries BOTH
     affine coordinates with limb PAIRS packed per u32 (rows 0-7 = X pairs,
     8-15 = Y pairs).  Halves the dominant per-round gather (the TPU gathers
     at ~1 element/cycle regardless of element content) and keeps the whole
-    pipeline K-major so no 384 MB layout transposes remain."""
+    pipeline K-major so no 384 MB layout transposes remain.  Each grid
+    invocation runs U sequential k-steps (_unroll_for) so the fixed
+    per-invocation pipeline cost is amortized."""
     import os
 
     from jax.experimental import pallas as pl
@@ -139,12 +153,13 @@ def _rake_packed_call(spec: FieldSpec, B: int, K: int):
     kf = KF(spec)
     sentinel = np.uint32(0x1FFFF)
     M16 = np.uint32(0xFFFF)
+    U = _unroll_for(K)
 
     def kernel(dig_ref, pk_ref, ox_ref, oy_ref, oz_ref,
                accX, accY, accZ, accd):
-        k = pl.program_id(1)
+        ku = pl.program_id(1)
 
-        @pl.when(k == 0)
+        @pl.when(ku == 0)
         def _():
             accd[:] = jnp.full((ROWS, 128), sentinel, jnp.uint32)
             z = jnp.zeros((ROWS, 128), jnp.uint32)
@@ -153,57 +168,62 @@ def _rake_packed_call(spec: FieldSpec, B: int, K: int):
                 accY[i] = z
                 accZ[i] = z
 
-        dk = dig_ref[0]
         X1 = [accX[i] for i in range(L)]
         Y1 = [accY[i] for i in range(L)]
         Z1 = [accZ[i] for i in range(L)]
-        X2 = [
-            (pk_ref[i // 2] >> np.uint32(16 * (i % 2))) & M16
-            for i in range(L)
-        ]
-        Y2 = [
-            (pk_ref[8 + i // 2] >> np.uint32(16 * (i % 2))) & M16
-            for i in range(L)
-        ]
-
-        aX, aY, aZ = _f_mixed_add_unsafe(kf, [X1, Y1, Z1, X2, Y2])
-        one = kf.one_mont_elem(X2)
-        same = dk == accd[:]
-        nX = kf.select(same, aX, X2)
-        nY = kf.select(same, aY, Y2)
-        nZ = kf.select(same, aZ, one)
+        prevd = accd[:]
+        for u in range(U):
+            dk = dig_ref[u]
+            X2 = [
+                (pk_ref[u * L + i // 2] >> np.uint32(16 * (i % 2))) & M16
+                for i in range(L)
+            ]
+            Y2 = [
+                (pk_ref[u * L + 8 + i // 2] >> np.uint32(16 * (i % 2)))
+                & M16
+                for i in range(L)
+            ]
+            aX, aY, aZ = _f_mixed_add_unsafe(kf, [X1, Y1, Z1, X2, Y2])
+            one = kf.one_mont_elem(X2)
+            same = dk == prevd
+            X1 = kf.select(same, aX, X2)
+            Y1 = kf.select(same, aY, Y2)
+            Z1 = kf.select(same, aZ, one)
+            prevd = dk
+            for i in range(L):
+                ox_ref[u, i, 0] = X1[i]
+                oy_ref[u, i, 0] = Y1[i]
+                oz_ref[u, i, 0] = Z1[i]
         for i in range(L):
-            ox_ref[i] = nX[i]
-            oy_ref[i] = nY[i]
-            oz_ref[i] = nZ[i]
-            accX[i] = nX[i]
-            accY[i] = nY[i]
-            accZ[i] = nZ[i]
-        accd[:] = dk
+            accX[i] = X1[i]
+            accY[i] = Y1[i]
+            accZ[i] = Z1[i]
+        accd[:] = prevd
 
     Bg = B // 128
-    dig_spec = pl.BlockSpec((1, ROWS, 128), lambda b, k: (k, b, 0),
+    dig_spec = pl.BlockSpec((U, ROWS, 128), lambda b, k: (k, b, 0),
                             memory_space=pltpu.VMEM)
-    pt_spec = pl.BlockSpec((L, ROWS, 128), lambda b, k: (k, b, 0),
+    pt_spec = pl.BlockSpec((U * L, ROWS, 128), lambda b, k: (k, b, 0),
                            memory_space=pltpu.VMEM)
-    # outputs laid out (16, K*Bg, 128) = plain (16, n) planes in K-major
-    # element order: downstream consumers (tail gathers, block-tail slices)
-    # then use cheap minor-axis gathers/slices instead of 2D-index flat
-    # gathers (which cost ~75 ms/round; measured round 3)
+    # outputs are (U, L, K/U, Bg, 128); the host transpose below restores
+    # plain (16, n) planes in K-major element order j = k*B + b, so
+    # downstream consumers (tail gathers, block-tail slices) keep their
+    # cheap minor-axis access patterns (2D-index flat gathers cost
+    # ~75 ms/round; measured round 3)
     out_spec = pl.BlockSpec(
-        (L, ROWS, 128), lambda b, k: (0, k * (Bg // ROWS) + b, 0),
+        (U, L, 1, ROWS, 128), lambda b, k: (0, 0, k, b, 0),
         memory_space=pltpu.VMEM,
     )
 
     @jax.jit
     def call(dig, packed):
-        return pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             out_shape=tuple(
-                jax.ShapeDtypeStruct((L, K * Bg, 128), jnp.uint32)
+                jax.ShapeDtypeStruct((U, L, K // U, Bg, 128), jnp.uint32)
                 for _ in range(3)
             ),
-            grid=(Bg // ROWS, K),
+            grid=(Bg // ROWS, K // U),
             in_specs=[dig_spec, pt_spec],
             out_specs=(out_spec, out_spec, out_spec),
             scratch_shapes=[
@@ -214,6 +234,11 @@ def _rake_packed_call(spec: FieldSpec, B: int, K: int):
             ],
             interpret=interpret,
         )(dig, packed)
+        # element k = ku*U + u lives at [u, :, ku] -> (L, K*Bg, 128)
+        return tuple(
+            o.transpose(1, 2, 0, 3, 4).reshape(L, K * Bg, 128)
+            for o in outs
+        )
 
     return call
 
