@@ -129,15 +129,18 @@ class JacobianOps:
 
         return rake_pallas.rake_scan_packed(dig_k, packed_k, B, K, self.spec)
 
-    def bucket_phase(self, buckets, nbuckets: int):
+    def bucket_phase(self, buckets, nbuckets: int, acc=None,
+                     dbl_steps: int = 0):
         """Fused bucket phase (msm/bucket_pallas.py) from JACOBIAN bucket
-        planes; None when unsupported (caller uses the XLA composition)."""
+        planes; with ``acc`` it also folds the per-round accumulator shift
+        (acc' = 2^dbl_steps acc + W).  None when unsupported (caller uses
+        the XLA composition)."""
         if not gp.enabled(buckets):
             return None
         from ..msm import bucket_pallas
 
         return bucket_pallas.bucket_phase(buckets, nbuckets, self.spec,
-                                          self.curve.b)
+                                          self.curve.b, acc, dbl_steps)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,7 +186,7 @@ class IntModOps:
     def pack_affine(self, pts):
         return None
 
-    def bucket_phase(self, buckets, nbuckets):
+    def bucket_phase(self, buckets, nbuckets, acc=None, dbl_steps=0):
         return None
 
     def j2c(self, P):

@@ -62,7 +62,7 @@ def _f_j2c(kf: KF, X, Y, Z):
 
 
 @functools.lru_cache(maxsize=None)
-def _bucket_call(spec: FieldSpec, b_int: int, K2: int):
+def _bucket_call(spec: FieldSpec, b_int: int, K2: int, dbl_steps: int = 0):
     import os
 
     from jax.experimental import pallas as pl
@@ -91,7 +91,7 @@ def _bucket_call(spec: FieldSpec, b_int: int, K2: int):
         zero = kf.zero(Y)
         return [X, kf.sub(zero, Y), Z]
 
-    def kernel(xr, yr, zr, ox, oy, oz, rX, rY, rZ, sX, sY, sZ):
+    def kernel(xr, yr, zr, ax, ay, az, ox, oy, oz, rX, rY, rZ, sX, sY, sZ):
         k = pl.program_id(0)
 
         @pl.when(k == 0)
@@ -155,6 +155,13 @@ def _bucket_call(spec: FieldSpec, b_int: int, K2: int):
             for _ in range(max(K2.bit_length() - 1, 0)):  # D *= K2
                 D = c_dbl(kf, D)
             W = c_add(c_add(A, D), negT)
+            # fold the per-round accumulator shift in: acc' = 2^c acc + W
+            # (saves the width-1 c_dbl_n + c_add XLA dispatches per round)
+            Acc = [[ax[i] for i in range(L)], [ay[i] for i in range(L)],
+                   [az[i] for i in range(L)]]
+            for _ in range(dbl_steps):
+                Acc = c_dbl(kf, Acc)
+            W = c_add(Acc, W)
             for i in range(L):
                 ox[i] = W[0][i]
                 oy[i] = W[1][i]
@@ -162,11 +169,13 @@ def _bucket_call(spec: FieldSpec, b_int: int, K2: int):
 
     pt_spec = pl.BlockSpec((L, ROWS, 128), lambda k: (k, 0, 0),
                            memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((L, ROWS, 128), lambda k: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((L, ROWS, 128), lambda k: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     @jax.jit
-    def call(xk, yk, zk):
+    def call(xk, yk, zk, ax, ay, az):
         return pl.pallas_call(
             kernel,
             out_shape=tuple(
@@ -174,21 +183,26 @@ def _bucket_call(spec: FieldSpec, b_int: int, K2: int):
                 for _ in range(3)
             ),
             grid=(K2,),
-            in_specs=[pt_spec, pt_spec, pt_spec],
+            in_specs=[pt_spec, pt_spec, pt_spec,
+                      acc_spec, acc_spec, acc_spec],
             out_specs=(out_spec, out_spec, out_spec),
             scratch_shapes=[pltpu.VMEM((L, ROWS, 128), jnp.uint32)
                             for _ in range(6)],
             interpret=interpret,
-        )(xk, yk, zk)
+        )(xk, yk, zk, ax, ay, az)
 
     return call
 
 
-def bucket_phase(buckets, nbuckets: int, spec: FieldSpec, b_int: int):
-    """W = sum_{j>=1} j * B_j from JACOBIAN bucket planes (16, nbuckets).
+def bucket_phase(buckets, nbuckets: int, spec: FieldSpec, b_int: int,
+                 acc=None, dbl_steps: int = 0):
+    """From JACOBIAN bucket planes (16, nbuckets):
 
-    Returns a width-1 complete-projective tuple, or None if the shape is
-    unsupported (caller falls back to the XLA composition)."""
+      acc=None:  W = sum_{j>=1} j * B_j                    (width-1)
+      acc given: acc' = 2^dbl_steps * acc + W              (width-1)
+
+    acc/result are complete-projective tuples.  Returns None if the shape
+    is unsupported (caller falls back to the XLA composition)."""
     if not supported(nbuckets):
         return None
     K2 = nbuckets // B2
@@ -198,7 +212,18 @@ def bucket_phase(buckets, nbuckets: int, spec: FieldSpec, b_int: int):
         return (rev.reshape(L, B2, K2).transpose(2, 0, 1)
                 .reshape(K2 * L, ROWS, 128))
 
+    if acc is None:
+        kf = KF(spec)
+        acc = (jnp.zeros((L, 1), jnp.uint32),
+               jnp.asarray(np.asarray(kf.one_mont, np.uint32)[:, None]),
+               jnp.zeros((L, 1), jnp.uint32))
+        dbl_steps = 0
+
+    def acc_tile(a):
+        return jnp.broadcast_to(a[:, 0][:, None, None], (L, ROWS, 128))
+
     X, Y, Z = buckets
-    ox, oy, oz = _bucket_call(spec, b_int, K2)(kmajor(X), kmajor(Y),
-                                               kmajor(Z))
+    ox, oy, oz = _bucket_call(spec, b_int, K2, dbl_steps)(
+        kmajor(X), kmajor(Y), kmajor(Z),
+        acc_tile(acc[0]), acc_tile(acc[1]), acc_tile(acc[2]))
     return tuple(o.reshape(L, B2)[:, :1] for o in (ox, oy, oz))

@@ -156,11 +156,40 @@ def _block_carries(ops, sdb, T, B: int, K: int):
     blocks whose first run continues the previous block's last run."""
     h = sdb[:, 0]
     t = sdb[:, K - 1]
-    cont = jnp.concatenate([jnp.array([False]), h[1:] == t[:-1]])
     internal = jnp.any(sdb[:, 1:] != sdb[:, :-1], axis=1)
+    return _block_carries_from(ops, h, t, internal, T, B)
+
+
+def _block_carries_from(ops, h, t, internal, T, B: int):
+    """_block_carries from precomputed per-block head/tail/internal-break
+    vectors (lets the K-major path skip the n-order transpose)."""
+    cont = jnp.concatenate([jnp.array([False]), h[1:] == t[:-1]])
     flag = internal | ~cont
     scanned = _hillis_seg_scan(ops, T, flag)
     return ops.select(cont, _roll(scanned, 1), ops.infinity((B,)))
+
+
+def _edges_kmajor(sdk, nbuckets: int, n: int):
+    """edges[j] = #digits < j, computed from the K-MAJOR sorted digit
+    planes sdk (K, B) — block b holds sorted positions b*K..b*K+K-1 —
+    without materializing the n-order transpose (8 MB relayout/round).
+    Two-level binary search: block tails locate the block, then an
+    in-column search of depth log2(K)."""
+    K, B = sdk.shape
+    q = jnp.arange(nbuckets + 1).astype(sdk.dtype)
+    tails = sdk[K - 1]                      # (B,) non-decreasing
+    blk = jnp.searchsorted(tails, q)        # first block with tail >= q
+    blk_c = jnp.clip(blk, 0, B - 1).astype(jnp.int32)
+    flat = sdk.reshape(K * B)
+    lo = jnp.zeros_like(blk_c)
+    hi = jnp.full_like(blk_c, K)
+    for _ in range(max((K - 1).bit_length(), 1)):
+        mid = (lo + hi) // 2
+        val = jnp.take(flat, mid * B + blk_c)
+        go_right = val < q
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return jnp.where(blk < B, blk_c * K + lo, n)
 
 
 def _bucket_phase(ops, buckets, nbuckets: int, K2: int):
@@ -245,12 +274,21 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
     # K-major fused-rake path (TPU): pack the affine table once per MSM.
     # Limb PAIRS per u32 halve the dominant per-round gather (the TPU
     # gathers at ~1 element/cycle regardless of element content; measured
-    # 79 ms/round for 32 planes at n=2^21).
+    # 79 ms/round for 32 planes at n=2^21).  ALL rounds' digit rows join
+    # the packed table up front: a per-round concatenate of the (17, n)
+    # gather operand costs ~59 ms of pure HBM copying (measured round 3),
+    # while extra gather rows are nearly free — so the per-round operand
+    # is one round-invariant (16+rounds, n) array.
     packed = ops.pack_affine(pts) if (B % 1024 == 0 and B >= 1024) else None
+    if packed is not None:
+        dig_rows = []
+        for ri in range(rounds):
+            limb_row = scalars[(c * ri) // 16]
+            dig_rows.append((limb_row >> jnp.uint32((c * ri) % 16)) & mask_c)
+        combined_all = jnp.concatenate(
+            [packed, jnp.stack(dig_rows, axis=0)], axis=0)
 
     def round_body(r, acc):
-        acc = ops.c_dbl_n(acc, c)
-
         ri = rounds - 1 - r  # digit index from LSB
         limb_idx = (c * ri) // 16
         shift = (c * ri) % 16
@@ -260,42 +298,42 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
         perm = jnp.argsort(d)
 
         if packed is not None:
-            # ONE gather per round: digits ride as row 16 of the gathered
-            # operand (gather cost on TPU is dominated by the number of
-            # gathered COLUMNS, so extra rows are nearly free while a
-            # second 2^21-index gather costs ~20 ms).  The K-major reorder
-            # (sorted s = b*K + k -> dest j = k*B + b) is composed into
-            # the permutation by a cheap 8 MB transpose, NOT a gather.
+            # ONE gather per round: digits ride as row 16+ri of the
+            # gathered operand (gather cost on TPU is dominated by the
+            # number of gathered COLUMNS, so extra rows are nearly free
+            # while a second 2^21-index gather costs ~20 ms).  The K-major
+            # reorder (sorted s = b*K + k -> dest j = k*B + b) is composed
+            # into the permutation by a cheap 8 MB transpose, NOT a gather.
             permk = perm.reshape(B, K).T.reshape(n)
-            combined = jnp.concatenate([packed, d[None, :]], axis=0)
-            G = jnp.take(combined, permk, axis=1)        # (17, n) minor
+            G = jnp.take(combined_all, permk, axis=1)    # (16+rounds, n)
             SPk = G[:16]
-            sdk_flat = G[16]                              # k-major digits
-            sd = sdk_flat.reshape(K, B).T.reshape(n)      # n-order sorted
-            sdb = sd.reshape(B, K)
+            sdk_flat = lax.dynamic_index_in_dim(
+                G, 16 + ri, axis=0, keepdims=False)       # k-major digits
+            # all downstream geometry stays K-MAJOR: the n-order sorted
+            # view would cost an 8 MB relayout per round (measured ~7 ms)
+            sdk = sdk_flat.reshape(K, B)
             dig_k = sdk_flat.reshape(K, B // 128, 128)
-            pk = (SPk.reshape(16, K, B).transpose(1, 0, 2)
-                  .reshape(16 * K, B // 128, 128))
+            pk = SPk.reshape(16, K, B // 128, 128)        # free 4-D view
             scan_k = ops.rake_scan_packed(dig_k, pk, B, K)  # 3 x (16, n)
             T = tuple(sc.reshape(16, n)[:, (K - 1) * B:] for sc in scan_k)
-            C = _block_carries(ops, sdb, T, B, K)
-            fr_flat = (sdb == sdb[:, :1]).reshape(n)
+            internal = jnp.any(sdk[1:] != sdk[:-1], axis=0)
+            C = _block_carries_from(ops, sdk[0], sdk[K - 1], internal, T, B)
+            frk_flat = (sdk == sdk[:1]).reshape(n)
+            edges = _edges_kmajor(sdk, nbuckets, n)
         else:
             sd = jnp.take(d, perm)
             sdb = sd.reshape(B, K)
             spts = gather_points(perm)
             scan, C, fr, _ = _rake_segment_scan(ops, sd, spts, B, K)
             fr_flat = fr.reshape(n)
+            # Bucket fill by GATHER, not scatter (sorted-run geometry):
+            # digit j's run tail sits at edges[j+1]-1 where edges[j] =
+            # #digits < j.  Every access is a searchsorted or a
+            # contiguous-row gather (scatter is the slowest TPU pattern).
+            edges = jnp.searchsorted(
+                sd, jnp.arange(nbuckets + 1).astype(sd.dtype)
+            )
 
-        # Bucket fill by GATHER, not scatter (sorted-run geometry): digit
-        # j's run tail sits at edges[j+1]-1 where edges[j] = #digits < j.
-        # The former scatter formulation also needed a per-block
-        # (b, kstar[b]) minor-axis gather for the first-run fixup — the
-        # slowest memory pattern on TPU; here every access is either a
-        # searchsorted or a contiguous-row gather.
-        edges = jnp.searchsorted(
-            sd, jnp.arange(nbuckets + 1).astype(sd.dtype)
-        )
         jidx = jnp.arange(nbuckets)
         count_j = edges[1:] - edges[:-1]
         valid = (count_j > 0) & (jidx > 0)
@@ -310,6 +348,7 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
                 jnp.take(sc.reshape(16, n), tk, axis=1) for sc in scan_k
             )
             cg = tuple(jnp.take(cc, bpos, axis=-1) for cc in C)
+            frj = jnp.take(frk_flat, tk)
         else:
             # gather scan rows at the tail positions (row-major trick)
             svals = [s.reshape((-1, n)) for s in scan]
@@ -331,16 +370,19 @@ def msm_engine(ops, pts, scalars, n: int, c: int, block: int, bucket_block: int,
                           .reshape(cc.shape[:-1] + (nbuckets,)))
                 ofs += v.shape[0]
             cg = tuple(cg)
+            frj = jnp.take(fr_flat, tc)
 
         # first-run tails need the cross-block carry added
-        frj = jnp.take(fr_flat, tc)
         carry = ops.select(frj & valid, cg, ops.infinity((nbuckets,)))
         bt = ops.add_unsafe(g, carry)
         buckets = ops.select(valid, bt, ops.infinity((nbuckets,)))
 
-        W = ops.bucket_phase(buckets, nbuckets)
-        if W is None:
-            W = _bucket_phase(ops, ops.j2c(buckets), nbuckets, bucket_block)
+        new_acc = ops.bucket_phase(buckets, nbuckets, acc, c)
+        if new_acc is not None:
+            # the fused kernel also applied acc' = 2^c acc + W
+            return new_acc
+        acc = ops.c_dbl_n(acc, c)
+        W = _bucket_phase(ops, ops.j2c(buckets), nbuckets, bucket_block)
         return ops.c_add(acc, W)
 
     acc0 = ops.c_infinity((1,))

@@ -175,11 +175,11 @@ def _rake_packed_call(spec: FieldSpec, B: int, K: int):
         for u in range(U):
             dk = dig_ref[u]
             X2 = [
-                (pk_ref[u * L + i // 2] >> np.uint32(16 * (i % 2))) & M16
+                (pk_ref[i // 2, u] >> np.uint32(16 * (i % 2))) & M16
                 for i in range(L)
             ]
             Y2 = [
-                (pk_ref[u * L + 8 + i // 2] >> np.uint32(16 * (i % 2)))
+                (pk_ref[8 + i // 2, u] >> np.uint32(16 * (i % 2)))
                 & M16
                 for i in range(L)
             ]
@@ -203,7 +203,10 @@ def _rake_packed_call(spec: FieldSpec, B: int, K: int):
     Bg = B // 128
     dig_spec = pl.BlockSpec((U, ROWS, 128), lambda b, k: (k, b, 0),
                             memory_space=pltpu.VMEM)
-    pt_spec = pl.BlockSpec((U * L, ROWS, 128), lambda b, k: (k, b, 0),
+    # the packed operand arrives in the GATHERED layout (16, K, Bg, 128)
+    # — a free bitcast view of the (16+rounds, n) gather output — so no
+    # K-major relayout (measured 7.6 ms/round) is needed
+    pt_spec = pl.BlockSpec((L, U, ROWS, 128), lambda b, k: (0, k, b, 0),
                            memory_space=pltpu.VMEM)
     # outputs are (U, L, K/U, Bg, 128); the host transpose below restores
     # plain (16, n) planes in K-major element order j = k*B + b, so
@@ -246,10 +249,11 @@ def _rake_packed_call(spec: FieldSpec, B: int, K: int):
 def rake_scan_packed(dig_k, packed_k, B: int, K: int, spec: FieldSpec):
     """Fused rake on K-major packed inputs.
 
-    dig_k: (K, B/128, 128) digits; packed_k: (K*16, B/128, 128) with row
-    k*16+j = packed limb-pair j (X pairs then Y pairs) of sorted position
-    (k, b).  Returns scan (X, Y, Z) each (16, K*B/128, 128) — i.e. plain
-    (16, n) limb planes in K-major element order j = k*B + b."""
+    dig_k: (K, B/128, 128) digits; packed_k: (16, K, B/128, 128) — the
+    gathered (16, n) packed planes viewed 4-D (free bitcast), row j =
+    packed limb-pair j (X pairs then Y pairs), column k*B+b = sorted
+    position (k, b).  Returns scan (X, Y, Z) each (16, K*B/128, 128) —
+    i.e. plain (16, n) limb planes in K-major element order j = k*B + b."""
     if not _supported(B):
         return None
     return _rake_packed_call(spec, B, K)(dig_k, packed_k)

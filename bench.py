@@ -233,7 +233,7 @@ def worker():
                 ) % BN254_G1.order
                 expect = golden.GoldenCurve(BN254_G1).mul(
                     kk, (BN254_G1.gen_x, BN254_G1.gen_y))
-                got = jacobian_to_host(r, BN254_G1)
+                got = jacobian_to_host(r, BN254_G1)[0]  # width-1 batch
                 if got != expect:
                     raise RuntimeError("MSM result mismatch vs host golden")
                 print(f"# 2^{log2n} correctness OK", file=sys.stderr,
