@@ -81,14 +81,23 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
             # runs from inside the cache-write path).  Serialize + write in a
             # forked child: a crash there loses one cache entry, not the
             # process.  alarm() bounds a child that deadlocks on a lock some
-            # other thread held at fork time.
-            pid = os.fork()
+            # other thread held at fork time (SIGALRM's default action kills
+            # the child even when deadlocked, so waitpid always returns).
+            # jax warns that fork+threads can deadlock — that is exactly the
+            # case the alarm bounds, so the warning is handled, not ignored.
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.filterwarnings(
+                    "ignore", message=".*os.fork.*", category=RuntimeWarning
+                )
+                pid = os.fork()
             if pid == 0:
                 code = 1
                 try:
                     import signal
 
-                    signal.alarm(300)
+                    signal.alarm(60)
                     orig_put(cache_key, module_name, executable, backend,
                              compile_time)
                     code = 0

@@ -33,7 +33,9 @@ import time
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
 MAX_LOG2 = int(os.environ.get("BENCH_MSM_MAXLOG2", 20))
-SIZES = [n for n in (10, 14, 20) if n <= MAX_LOG2] or [MAX_LOG2]
+# 2^16/2^18 rungs (VERDICT r3 weak #8): a budget shortfall now degrades
+# the reported size gradually instead of cliff-dropping 2^20 -> 2^14
+SIZES = [n for n in (10, 14, 16, 18, 20) if n <= MAX_LOG2] or [MAX_LOG2]
 BASELINE_POINTS_PER_S = 3.0e6
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
@@ -129,6 +131,11 @@ def worker():
 
     import numpy as np
     import jax
+
+    # the axon PJRT plugin ignores the JAX_PLATFORMS env var on some
+    # builds (observed r4); the config knob is authoritative
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     # the axon TPU tunnel can be down for hours; a CPU number with an
     # honest metric name beats no number (the supervisor prefixes the

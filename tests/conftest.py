@@ -14,6 +14,12 @@ import os
 # (dropping /root/.axon_site from PYTHONPATH skips the ~2min axon PJRT
 # registration that sitecustomize performs in every interpreter).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon PJRT plugin (registered by sitecustomize) overrides the env var
+# on some builds (observed round 4: JAX_PLATFORMS=cpu still yields backend
+# "tpu"); the config knob is authoritative, so set both.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # NOTE: the virtual 8-device mesh flag is NOT set here — it slows every
 # XLA:CPU compile and bifurcates the compile cache.  Multi-chip tests
 # (tests/test_parallel.py) skip without it; run them separately with
