@@ -41,6 +41,7 @@ from ..transcript.transcript import Transcript
 from . import kernels
 from .proving_key import ProvingKey, fr_mont
 from .serialize import fr_to_bytes, g1_to_bytes, u32_to_bytes
+from .work_queue import WorkQueue, WorkItem, WorkType
 from ..numeric.bigint import limbs_to_ints
 
 M = FR_MOD
@@ -69,11 +70,21 @@ class Prover:
         )
         self.wire_mono: Dict[str, jnp.ndarray] = {}
         self.wire_fft: Dict[str, jnp.ndarray] = {}
+        # external-executor seam (ref: work_queue.hpp): bulk math between
+        # Fiat-Shamir barriers is queued, then drained at each round end by
+        # self.executor (None = the built-in single-device kernels)
+        self.queue = WorkQueue(key)
+        self.executor = None
 
     # -- helpers ---------------------------------------------------------------
     def _commit(self, mono, tag: str):
-        pt = self.key.commit(mono)
-        self.transcript.add_element(tag, g1_to_bytes(pt))
+        self.queue.add_to_queue(WorkItem(
+            WorkType.MSM, tag,
+            get_data=lambda mono=mono: limb.from_mont(mono, FR),
+            put_result=lambda pt, tag=tag: self.transcript.add_element(
+                tag, g1_to_bytes(pt)),
+            size=int(mono.shape[1]),
+        ))
 
     def _challenge(self, name: str, idx: int = 0) -> int:
         return self.transcript.get_challenge_fr(name, idx)
@@ -109,7 +120,12 @@ class Prover:
             tag = f"w_{i}"
             lag = self._blind(self.wires_lagrange[tag], 3, self.n - k)
             self.wires_lagrange[tag] = lag
-            self.wire_mono[tag] = pfft.ifft(lag, self.key.small_domain)
+            self.queue.add_to_queue(WorkItem(
+                WorkType.IFFT, tag,
+                get_data=lambda tag=tag: self.wires_lagrange[tag],
+                put_result=lambda mono, tag=tag: self.wire_mono.__setitem__(
+                    tag, mono),
+            ))
 
     def execute_first_round(self):
         """ref: prover.cpp:197-228 — wire commitments + public inputs."""
@@ -152,9 +168,12 @@ class Prover:
             self.flavor.third_round_extra(self)
 
         for tag in [f"w_{i}" for i in range(1, self.width + 1)] + ["z"]:
-            self.wire_fft[tag] = pfft.coset_fft(
-                self.key._extend(self.wire_mono[tag]), self.key.large_domain
-            )
+            self.queue.add_to_queue(WorkItem(
+                WorkType.FFT, tag,
+                get_data=lambda tag=tag: self.wire_mono[tag],
+                put_result=lambda f, tag=tag: self.wire_fft.__setitem__(
+                    tag, f),
+            ))
 
     def execute_fourth_round(self):
         """ref: prover.cpp:275-363 — fused quotient + split commitments."""
@@ -329,11 +348,17 @@ class Prover:
         from ..utils.cpu_warm import prewarm_prover
 
         prewarm_prover(self)  # no-op outside the XLA:CPU test environment
-        self.execute_preamble_round()
-        self.execute_first_round()
-        self.execute_second_round()
-        self.execute_third_round()
-        self.execute_fourth_round()
-        self.execute_fifth_round()
-        self.execute_sixth_round()
+        for rnd in (
+            self.execute_preamble_round,
+            self.execute_first_round,
+            self.execute_second_round,
+            self.execute_third_round,
+            self.execute_fourth_round,
+            self.execute_fifth_round,
+            self.execute_sixth_round,
+        ):
+            rnd()
+            # drain the work queue at the Fiat-Shamir barrier; an external
+            # executor (self.executor) may service FFT/MSM items here
+            self.queue.process_queue(self.executor)
         return self.transcript.export_transcript()

@@ -162,3 +162,44 @@ def compute_public_input_delta(inputs, beta: int, gamma: int, root: int):
         den = den * (t1 * k_ext + t0) % FR_MOD
         work_root = work_root * root % FR_MOD
     return num * pow(den, -1, FR_MOD) % FR_MOD
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _barycentric_jit(evals, z_mont, winv_pows, num_mont, n: int):
+    # denominators d_i = z * w^{-i} - 1, inverted in ONE batched inversion
+    one = limb.one_mont(FR)[:, None]
+    zw = limb.mont_mul(winv_pows, z_mont[:, None], FR)
+    den = limb.sub_mod(zw, one, FR)
+    den_inv = limb.batch_inv_mont(den, FR)
+    terms = limb.mont_mul(evals, den_inv, FR)
+    s = _tree_sum(terms, n)
+    return limb.mont_mul(s[:, None], num_mont[:, None], FR)[:, 0]
+
+
+def compute_barycentric_evaluation(evals, z_int: int, domain):
+    """r = sum_i L_i(z) * f_i from EVALUATION form, without an iFFT.
+
+    TPU-native form of the reference's compute_barycentric_evaluation
+    (polynomial_arithmetic.cpp:814-846): L_i(z) = ((z^n - 1)/n) /
+    (z*w^{-i} - 1), so the whole evaluation is one batched Montgomery
+    multiply against inverted denominators (ONE inversion via the
+    prefix-product trick) and a log-depth reduction tree — no serial
+    denominator loop.
+
+    evals: (L, m) Montgomery evaluation planes over the first m points of
+    ``domain`` (m <= domain.size); z_int: canonical challenge.  Returns
+    the canonical int r.
+    """
+    import numpy as np
+
+    from ..numeric.bigint import limbs_to_int
+
+    m = evals.shape[-1]
+    n = domain.size
+    z = z_int % FR_MOD
+    numerator = (pow(z, n, FR_MOD) - 1) * pow(n, -1, FR_MOD) % FR_MOD
+    root_inv = pow(domain.root, -1, FR_MOD)
+    winv = powers_table(fr_mont_plane(root_inv), m, FR)
+    out = _barycentric_jit(evals, fr_mont_plane(z), winv,
+                           fr_mont_plane(numerator), m)
+    return limbs_to_int(np.asarray(limb.from_mont(out[:, None], FR))[:, 0])

@@ -1,19 +1,12 @@
-"""Radix-2 FFT / iFFT / coset FFT over Fr as batched butterfly stages.
+"""Radix-2 FFT / iFFT / coset FFT over Fr, Stockham formulation.
 
 TPU-native re-design of the reference's fft_inner_parallel
 (polynomials/polynomial_arithmetic.cpp:140-255).  The reference's flattened
-block-mask indexing is already the vectorized formulation; here the whole
-transform is ONE ``lax.fori_loop`` over log2(n) stages whose body is a
-full-width gather + batched Montgomery multiply + add/sub select:
-
-    for element i at stage with half-block m:   j = i & (m-1)
-        a = x[i & ~m],  b = x[i | m],  t = root^(j * n/(2m)) * b
-        x[i] = (i & m) ? a - t : a + t
-
-Every stage touches all n lanes with static shapes, so XLA compiles a single
-stage body (compile time O(1) in n) at the cost of computing each butterfly
-product twice — the right trade on a vector machine.  Bit-reversal is a
-single gather before the loop.
+block-mask indexing walks gather-style butterflies; TPU gathers cost ~30 ns
+PER INDEX (round-4 measurement), so the transform here is the self-sorting
+Stockham recurrence instead: log2(n) stages of static slices + one batched
+Montgomery multiply + modular add/sub, everything moving at HBM bandwidth.
+No bit-reversal pass exists at all.
 
 Polynomials are Montgomery-form uint32 limb planes of shape (L, n).
 """
@@ -32,25 +25,42 @@ from .domain import EvaluationDomain
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _fft_core(x, roots, bitrev, n: int):
+    """Self-sorting Stockham radix-2: every stage is STATIC slices +
+    one Montgomery multiply + modular add/sub — no gathers, no
+    bit-reversal.
+
+    Invariant: A_t has shape (L, r_t, L_t) with r_t = n/2^t, L_t = 2^t,
+    and A_t[:, b, :] = FFT_{L_t} of the stride-r_t subsequence x[b::r_t].
+    Step: the even/odd halves of x[b::r_{t+1}] are rows b and b+r_{t+1},
+    so A_{t+1}[:, b, k (+L_t)] = top[:, b, k] +- w_{2L_t}^k bot[:, b, k].
+    Twiddles are a static strided slice of the (L, n/2) root table.
+
+    Why not the flat indexed form (the round-1..3 design): each of its
+    log2(n) stages issued three n-index gathers, and TPU gathers cost
+    ~30 ns per index (r4 measurement) — ~0.4 s per stage at 4n = 2^22.
+    Stockham's reshape/concat moves the same bytes at memory bandwidth.
+    (``bitrev`` is kept in the signature for interface stability; the
+    self-sorting recurrence never uses it.)
+    """
+    del bitrev
     L = x.shape[0]
     logn = n.bit_length() - 1
-    x = jnp.take(x, bitrev, axis=1)
-    idx = jnp.arange(n, dtype=jnp.int32)
-
-    def stage(s, x):
-        m = jnp.int32(1) << s
-        half_stride = jnp.int32(n) >> (s + 1)
-        j = idx & (m - 1)
-        w = jnp.take(roots, j * half_stride, axis=1)  # (L, n)
-        xa = jnp.take(x, idx & ~m, axis=1)
-        xb = jnp.take(x, idx | m, axis=1)
-        t = limb.mont_mul(xb, w, FR)
-        apt = limb.add_mod(xa, t, FR)
-        amt = limb.sub_mod(xa, t, FR)
-        hi = (idx & m) != 0
-        return jnp.where(hi[None], amt, apt)
-
-    return lax.fori_loop(0, logn, stage, x)
+    if n == 1:
+        return x
+    A = x.reshape(L, n, 1)
+    for t in range(logn):
+        Lt = 1 << t
+        r_next = n >> (t + 1)
+        top = A[:, :r_next, :]
+        bot = A[:, r_next:, :]
+        stride = n // (2 * Lt)
+        tw = roots[:, ::stride]                      # (L, Lt) static slice
+        twb = jnp.broadcast_to(tw[:, None, :], bot.shape)
+        tb = limb.mont_mul(bot, twb, FR)
+        A = jnp.concatenate(
+            [limb.add_mod(top, tb, FR), limb.sub_mod(top, tb, FR)], axis=2
+        )
+    return A.reshape(L, n)
 
 
 def fft(x, domain: EvaluationDomain):

@@ -81,3 +81,39 @@ def test_domain_roots():
     tbl = np.asarray(limb.from_mont(d.forward_roots, FR))
     vals = limbs_to_ints(tbl[:, :4])
     assert vals == [1, d.root, pow(d.root, 2, FR_MOD), pow(d.root, 3, FR_MOD)]
+
+
+def test_barycentric_evaluation_matches_coefficient_eval():
+    """compute_barycentric_evaluation (ref polynomial_arithmetic.cpp:814)
+    from evaluation form == direct coefficient evaluation."""
+    from aztec_tpu.poly.arithmetic import compute_barycentric_evaluation
+
+    n = 16
+    dom = EvaluationDomain(n)
+    coeffs = rand_poly(n)
+    evals = naive_dft(coeffs, dom.root)
+    z = rng.randrange(FR_MOD)
+    expect = 0
+    for c in reversed(coeffs):
+        expect = (expect * z + c) % FR_MOD
+    got = compute_barycentric_evaluation(to_dev_mont(evals), z, dom)
+    assert got == expect
+
+
+def test_barycentric_evaluation_partial_prefix():
+    """m < n evaluations: matches sum_i L_i(z) f_i over the first m
+    lagranges only (the reference's num_coeffs < domain.size case)."""
+    from aztec_tpu.poly.arithmetic import compute_barycentric_evaluation
+
+    n, m = 16, 10
+    dom = EvaluationDomain(n)
+    fvals = rand_poly(m)
+    z = rng.randrange(FR_MOD)
+    num = (pow(z, n, FR_MOD) - 1) * pow(n, -1, FR_MOD) % FR_MOD
+    expect = 0
+    for i, f in enumerate(fvals):
+        li = num * pow((z * pow(dom.root, -i, FR_MOD) - 1) % FR_MOD,
+                       -1, FR_MOD) % FR_MOD
+        expect = (expect + li * f) % FR_MOD
+    got = compute_barycentric_evaluation(to_dev_mont(fvals), z, dom)
+    assert got == expect
