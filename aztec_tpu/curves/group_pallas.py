@@ -138,13 +138,21 @@ def _make_proj_dbl_n(b3_limbs, steps: int):
     """`steps` successive RCB16 doublings fused in one kernel: the MSM's
     per-round accumulator shift (c doublings, width 1) costs `steps`
     sequential device launches on the jnp path (~0.9 ms each, latency-
-    bound); fused it is one launch."""
+    bound); fused it is one launch.
+
+    The steps run as an in-kernel lax.fori_loop so the doubling body is
+    traced ONCE regardless of `steps` (an unrolled 16-step chain costs
+    ~100 s of Python tracing per fresh process on this host — trace time
+    is not covered by the persistent compile cache)."""
+    import jax
+
     one = _make_proj_dbl(b3_limbs)
 
     def _f(kf: KF, elems):
-        for _ in range(steps):
-            elems = one(kf, elems)
-        return elems
+        def body(_, e):
+            return tuple(one(kf, list(e)))
+
+        return list(jax.lax.fori_loop(0, steps, body, tuple(elems)))
 
     return _f
 

@@ -1,0 +1,231 @@
+"""Chunked fixed-geometry Pippenger MSM: one compile serves every size.
+
+Why (round-4 root cause): the MSM's per-size warmup cost is dominated by
+Python TRACING of the fused Pallas kernels — not backend compilation, so
+the persistent compile cache cannot hide it.  Measured on this host:
+82 s to trace+lower the rake kernel alone; the fused bucket-phase kernel
+(msm/bucket_pallas.py, ~56 unrolled group-formula bodies) is several
+minutes.  Round 3's bench burned its whole budget re-tracing a fresh
+geometry per size and never reached 2^20.
+
+Fix, in three moves:
+
+1. **One geometry.**  Points are processed in fixed-size chunks
+   (default 2^17 points -> 2^18 table entries after GLV).  An MSM of any
+   size is a sum of per-chunk partial MSMs (MSM is linear in the point
+   set), so the round kernel is traced and compiled exactly once and
+   reused by 2^14 and 2^20 alike.  This is also the natural multi-chip
+   unit: chunks are the reference's per-thread scalar slices
+   (scalar_multiplication.cpp:720-835) mapped to whole devices.
+
+2. **Buckets accumulate across chunks.**  Each (round, chunk) produces
+   2^c Jacobian bucket tails (pippenger._packed_round_buckets); they are
+   converted to complete projective form and folded into per-round
+   running bucket planes with one width-2^c complete add (~65 us fused).
+   The expensive bucket phase then runs ONCE per MSM, batched over all
+   rounds.
+
+3. **Bucket phase = round-batched XLA composition over small fused
+   kernels.**  The suffix-sum identity W = sum_{j>=1} S_j runs as
+   lax.scan / Hillis-Steele scans whose bodies are the cached fused
+   proj_add Pallas op — loop-rolled, so the trace cost is ONE add body —
+   over planes shaped (16, rounds, 2^c): all 8 rounds ride one pass.
+   The width-1 Horner fold acc = 2^c acc + W_r closes the MSM.
+
+Everything is bit-identical to msm_engine's packed path (same kernels,
+same formulas, different staging).
+
+Reference bar: scalar_multiplication.cpp:145-167 (2^20 MSM ~ 2^24 adds).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..curves.group_ops import JacobianOps
+from ..curves.spec import CurveSpec
+from . import pippenger as pp
+
+CHUNK_LOG2 = 17   # points per chunk (table doubles under GLV)
+RAKE_K = 64       # serial rake depth; B = n_eff / K
+
+
+def _chunk_geometry(chunk_log2: int, use_glv: bool, K: int):
+    n_eff = (2 if use_glv else 1) << chunk_log2
+    B = n_eff // K
+    return n_eff, B
+
+
+def supported(chunk_log2: int, use_glv: bool, K: int, c: int) -> bool:
+    n_eff, B = _chunk_geometry(chunk_log2, use_glv, K)
+    return (
+        n_eff % K == 0 and B >= 1024 and B % 1024 == 0
+        and (1 << c) % 1024 == 0
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _prep_fn(curve: CurveSpec, use_glv: bool):
+    """(X, Y, scalars) chunk -> (packed16 (16, n_eff), digit planes)."""
+    ops = JacobianOps(curve)
+
+    @jax.jit
+    def prep(X, Y, scalars):
+        if use_glv:
+            from . import glv as glv_mod
+
+            (X, Y), scalars = glv_mod.glv_table((X, Y), scalars, curve)
+        return ops.pack_affine((X, Y)), scalars
+
+    return prep
+
+
+@functools.lru_cache(maxsize=None)
+def _round_fn(curve: CurveSpec, n_eff: int, c: int, K: int):
+    """One (round, chunk) step: fold this chunk's bucket tails into the
+    round's running complete-projective bucket planes.  ``ri`` is a
+    DYNAMIC argument so one executable serves all rounds."""
+    ops = JacobianOps(curve)
+    mask_c = jnp.uint32((1 << c) - 1)
+
+    @jax.jit
+    def round_step(packed16, scalars, bX, bY, bZ, ri):
+        limb_row = lax.dynamic_index_in_dim(
+            scalars, (c * ri) // 16, axis=0, keepdims=False)
+        d = (limb_row >> ((c * ri) % 16).astype(jnp.uint32)) & mask_c
+        bj = pp._packed_round_buckets(ops, packed16, d, n=n_eff, c=c, K=K)
+        return ops.c_add((bX, bY, bZ), ops.j2c(bj))
+
+    return round_step
+
+
+def _bucket_phase_batched(ops, buckets, nbuckets: int, K2: int):
+    """W_r = sum_{j>=1} j * B_{r,j} for every round r at once.
+
+    buckets: complete-projective planes (16, R, nbuckets).  Returns a
+    width-(R,) tuple.  Same suffix-sum algebra as pippenger._bucket_phase,
+    restaged with an explicit round batch axis so ONE pass (and one set of
+    fused-kernel launches) serves all rounds."""
+    R = buckets[0].shape[1]
+    B2 = nbuckets // K2
+    rev = tuple(jnp.flip(b, axis=-1) for b in buckets)      # suffix -> prefix
+    rb = tuple(b.reshape(b.shape[:-1] + (B2, K2)) for b in rev)
+    rbk = tuple(jnp.moveaxis(b, -1, 0) for b in rb)          # (K2, 16, R, B2)
+
+    inf = ops.c_infinity((R, B2))
+
+    def step(acc, xs):
+        acc = ops.c_add(acc, tuple(xs))
+        return acc, acc
+
+    totals, stacked = lax.scan(step, inf, rbk)
+    local = tuple(jnp.moveaxis(s, 0, -1) for s in stacked)   # (16, R, B2, K2)
+
+    # exclusive carry of lane totals along B2
+    scanned = pp._hillis_scan(ops, totals, ops.c_add)
+    idx2 = jnp.arange(B2)
+    carry = ops.select(idx2 >= 1, pp._roll(scanned, 1),
+                       ops.c_infinity((R, B2)))
+
+    S = ops.c_add(local, tuple(cc[..., None] for cc in carry))
+    Sf = tuple(s.reshape(s.shape[:-2] + (nbuckets,)) for s in S)
+    keep = jnp.arange(nbuckets) != (nbuckets - 1)
+    Sf = ops.c_mask_to_infinity(keep, Sf)
+
+    sb = tuple(s.reshape(s.shape[:-1] + (B2, K2)) for s in Sf)
+
+    def sumstep(k, acc):
+        Pk = tuple(
+            lax.dynamic_index_in_dim(b, k, axis=b.ndim - 1, keepdims=False)
+            for b in sb
+        )
+        return ops.c_add(acc, Pk)
+
+    colsum = lax.fori_loop(0, K2, sumstep, ops.c_infinity((R, B2)))
+    tot = pp._hillis_scan(ops, colsum, ops.c_add)
+    return tuple(a[..., -1] for a in tot)                    # (16, R)
+
+
+def _finish(ops, buckets, R: int, c: int, nbuckets: int,
+            return_jacobian: bool):
+    """Batched bucket phase over all rounds + width-1 Horner fold.
+
+    buckets: complete-projective planes (*, R, nbuckets).  Group-generic
+    (unit-tested against IntModOps)."""
+    W = _bucket_phase_batched(ops, buckets, nbuckets,
+                              min(64, nbuckets // 1024 or 1))
+    # Horner over rounds, MSB digit first: acc = 2^c acc + W[ri]
+    acc = ops.c_infinity((1,))
+    for ri in range(R - 1, -1, -1):
+        acc = ops.c_dbl_n(acc, c)
+        acc = ops.c_add(acc, tuple(w[..., ri:ri + 1] for w in W))
+    return ops.c2j(acc) if return_jacobian else acc
+
+
+@functools.lru_cache(maxsize=None)
+def _finish_fn(curve: CurveSpec, R: int, c: int, nbuckets: int,
+               return_jacobian: bool):
+    ops = JacobianOps(curve)
+
+    @jax.jit
+    def finish(bX, bY, bZ):
+        return _finish(ops, (bX, bY, bZ), R, c, nbuckets, return_jacobian)
+
+    return finish
+
+
+def msm_chunked(points, scalars, curve: CurveSpec, *,
+                chunk_log2: int = CHUNK_LOG2, c: int = 16, K: int = RAKE_K,
+                use_glv: bool = True, return_jacobian: bool = True):
+    """MSM over concrete (non-traced) inputs with fixed chunk geometry.
+
+    points: (X, Y) affine Montgomery limb planes (16, n), all finite
+    (prover SRS contract); scalars: (16, n) canonical uint32 limb planes.
+    n is padded internally to a chunk multiple with copies of point 0 and
+    zero scalars (digit-0 entries land in the dropped bucket 0).
+    """
+    from . import glv as glv_mod
+
+    X, Y = points
+    n = X.shape[1]
+    use_glv = use_glv and glv_mod.glv_params(curve) is not None
+    chunk = 1 << chunk_log2
+    rounds = (128 if use_glv else 256) // c
+    n_eff, _ = _chunk_geometry(chunk_log2, use_glv, K)
+    nbuckets = 1 << c
+
+    pad = (-n) % chunk
+    if pad:
+        X = jnp.concatenate([X, jnp.tile(X[:, :1], (1, pad))], axis=1)
+        Y = jnp.concatenate([Y, jnp.tile(Y[:, :1], (1, pad))], axis=1)
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)], axis=1
+        )
+        n += pad
+
+    prep = _prep_fn(curve, use_glv)
+    round_step = _round_fn(curve, n_eff, c, K)
+    ops = JacobianOps(curve)
+
+    # per-round running bucket planes (separate arrays: .at[].set would
+    # copy the full (16, R, 2^c) stack every step)
+    accs = [
+        tuple(jnp.asarray(a) for a in ops.c_infinity((nbuckets,)))
+        for _ in range(rounds)
+    ]
+
+    for base in range(0, n, chunk):
+        packed16, sc = prep(X[:, base:base + chunk], Y[:, base:base + chunk],
+                            scalars[:, base:base + chunk])
+        for ri in range(rounds):
+            accs[ri] = round_step(packed16, sc, *accs[ri], jnp.int32(ri))
+
+    stacked = tuple(
+        jnp.stack([a[i] for a in accs], axis=1) for i in range(3)
+    )
+    return _finish_fn(curve, rounds, c, nbuckets, return_jacobian)(*stacked)

@@ -255,14 +255,14 @@ def _bucket_phase(ops, buckets, nbuckets: int, K2: int):
     return tuple(a[..., -1:] for a in tot)
 
 
-def _packed_round(ops, packed16, digits, acc, *, n: int, c: int, K: int):
-    """One Pippenger round on the packed/fused-Pallas path.
+def _packed_round_buckets(ops, packed16, digits, *, n: int, c: int, K: int):
+    """Digit round -> JACOBIAN bucket planes (tuple of (*, 2^c) arrays).
 
     packed16: (16, n) limb-pair-packed affine table (ops.pack_affine);
-    digits: (n,) this round's c-bit digits; acc: width-1 complete-
-    projective accumulator.  Returns acc' = 2^c * acc + W.  Works both
-    inside the msm_engine fori_loop and as the body of the host-driven
-    staged MSM (msm/staged.py).
+    digits: (n,) this round's c-bit digits.  Shared by _packed_round (which
+    folds the buckets into the running accumulator immediately) and the
+    chunked driver (msm/chunked.py, which accumulates buckets across point
+    chunks and defers the bucket phase to one round-batched pass).
 
     The permutation engine is TWO variadic radix sorts, NOT gathers:
     XLA:TPU lowers lax.sort to a radix sort that runs near HBM bandwidth
@@ -310,7 +310,17 @@ def _packed_round(ops, packed16, digits, acc, *, n: int, c: int, K: int):
     # first-run tails need the cross-block carry added
     carry = ops.select(frj & valid, cg, ops.infinity((nbuckets,)))
     bt = ops.add_unsafe(g, carry)
-    buckets = ops.select(valid, bt, ops.infinity((nbuckets,)))
+    return ops.select(valid, bt, ops.infinity((nbuckets,)))
+
+
+def _packed_round(ops, packed16, digits, acc, *, n: int, c: int, K: int):
+    """One Pippenger round on the packed/fused-Pallas path.
+
+    acc: width-1 complete-projective accumulator.  Returns
+    acc' = 2^c * acc + W.  Works both inside the msm_engine fori_loop and
+    as the body of the host-driven staged MSM (msm/staged.py)."""
+    nbuckets = 1 << c
+    buckets = _packed_round_buckets(ops, packed16, digits, n=n, c=c, K=K)
 
     new_acc = ops.bucket_phase(buckets, nbuckets, acc, c)
     if new_acc is not None:
@@ -468,19 +478,21 @@ def msm(points, scalars, curve: CurveSpec, config: MSMConfig | None = None):
         if (-(eff * n)) % K:  # odd eff-pad rounding; top up one more K
             return msm((X, Y), scalars, curve, config)
 
-    # Host-driven staged path (TPU, concrete inputs): same kernels and
-    # math as the monolith below, but split into 3 small jits — the
-    # monolithic 2^20 jit spent >12 min compiling on the axon backend and
-    # never finished a warmup (msm/staged.py has the full story).
-    from . import staged
+    # Host-driven chunked path (TPU, concrete inputs): fixed chunk
+    # geometry so the Pallas kernels trace+compile ONCE for every MSM
+    # size; buckets accumulate across chunks and the bucket phase runs
+    # round-batched at the end (msm/chunked.py has the full story).
+    from . import chunked
 
     if (not isinstance(X, jax.core.Tracer)
-            and staged.geometry(eff * n, config.c, K)):
+            and jax.default_backend() == "tpu"
+            and n >= 1 << 12):
         from ..ff import pallas_field as pf
 
-        if pf.use_pallas():
-            return staged.msm_staged((X, Y), scalars, curve, n, config.c,
-                                     K, use_glv)
+        if pf.use_pallas() and chunked.supported(
+                chunked.CHUNK_LOG2, use_glv, chunked.RAKE_K, 16):
+            return chunked.msm_chunked(
+                (X, Y), scalars, curve, use_glv=use_glv)
     return _msm_jit(
         X, Y, scalars, curve, n, config.c, config.block, config.bucket_block,
         use_glv,
