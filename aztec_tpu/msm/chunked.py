@@ -86,22 +86,91 @@ def _prep_fn(curve: CurveSpec, use_glv: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _round_fn(curve: CurveSpec, n_eff: int, c: int, K: int):
-    """One (round, chunk) step: fold this chunk's bucket tails into the
-    round's running complete-projective bucket planes.  ``ri`` is a
-    DYNAMIC argument so one executable serves all rounds."""
+def _stage_fns(curve: CurveSpec, n: int, c: int, K: int):
+    """The six per-round device programs, one jit each.
+
+    Granularity is a MEASUREMENT, not taste (r4, tunneled v5e, n=2^18):
+    run as these six executables chained back-to-back the round costs
+    ~4.5 ms of device time; the same math composed into ONE module runs
+    21 ms/round pipelined (47 ms blocked), and fusing a whole 8-round
+    chunk into one program hit both a 60x slowdown and a tunnel-client
+    panic on input-output aliasing.  Small chained executables win on
+    this backend: per-dispatch overhead is sub-ms when the client
+    pipelines, and each module keeps the layouts XLA chose for it.
+
+      sort1   digit extraction + 17-row variadic sort (groups by digit)
+      sort2   fixed rank -> K-major relayout sort (rake reads tiles)
+      rake    fused Pallas segment-scan over (K, B) tiles
+      carries cross-block carries (Hillis segmented scan over B)
+      tails   bucket-tail gather + carry add -> Jacobian bucket planes
+      fold    j2c + complete add into the round's running planes
+    """
     ops = JacobianOps(curve)
-    mask_c = jnp.uint32((1 << c) - 1)
+    B = n // K
+    nbuckets = 1 << c
+    mask_c = jnp.uint32(nbuckets - 1)
 
     @jax.jit
-    def round_step(packed16, scalars, bX, bY, bZ, ri):
+    def sort1(packed16, scalars, ri):
         limb_row = lax.dynamic_index_in_dim(
             scalars, (c * ri) // 16, axis=0, keepdims=False)
         d = (limb_row >> ((c * ri) % 16).astype(jnp.uint32)) & mask_c
-        bj = pp._packed_round_buckets(ops, packed16, d, n=n_eff, c=c, K=K)
-        return ops.c_add((bX, bY, bZ), ops.j2c(bj))
+        return lax.sort((d,) + tuple(packed16), num_keys=1)
 
-    return round_step
+    @jax.jit
+    def sort2(outs):
+        r_idx = jnp.arange(n, dtype=jnp.uint32)
+        km = (r_idx % K) * B + r_idx // K
+        return lax.sort((km,) + tuple(outs), num_keys=1)
+
+    @jax.jit
+    def rake(sdk_flat, rest):
+        SPk = jnp.stack(rest, axis=0)
+        dig_k = sdk_flat.reshape(K, B // 128, 128)
+        pk = SPk.reshape(16, K, B // 128, 128)
+        return ops.rake_scan_packed(dig_k, pk, B, K)
+
+    @jax.jit
+    def carries(sdk_flat, scan_k):
+        sdk = sdk_flat.reshape(K, B)
+        T = tuple(sc.reshape(16, n)[:, (K - 1) * B:] for sc in scan_k)
+        internal = jnp.any(sdk[1:] != sdk[:-1], axis=0)
+        return pp._block_carries_from(ops, sdk[0], sdk[K - 1], internal,
+                                      T, B)
+
+    @jax.jit
+    def tails(sd, sdk_flat, scan_k, C):
+        edges = jnp.searchsorted(
+            sd, jnp.arange(nbuckets + 1).astype(sd.dtype))
+        frk_flat = (sdk_flat.reshape(K, B)
+                    == sdk_flat.reshape(K, B)[:1]).reshape(n)
+        jidx = jnp.arange(nbuckets)
+        count_j = edges[1:] - edges[:-1]
+        valid = (count_j > 0) & (jidx > 0)
+        tc = jnp.clip(edges[1:].astype(jnp.int32) - 1, 0, n - 1)
+        kpos = tc % K
+        bpos = tc // K
+        tk = kpos * B + bpos
+        g = tuple(jnp.take(sc.reshape(16, n), tk, axis=1) for sc in scan_k)
+        cg = tuple(jnp.take(cc, bpos, axis=-1) for cc in C)
+        frj = jnp.take(frk_flat, tk)
+        carry = ops.select(frj & valid, cg, ops.infinity((nbuckets,)))
+        bt = ops.add_unsafe(g, carry)
+        return ops.select(valid, bt, ops.infinity((nbuckets,)))
+
+    @jax.jit
+    def fold(bacc, bj):
+        return ops.c_add(bacc, ops.j2c(bj))
+
+    def round_buckets(packed16, scalars, ri, bacc):
+        outs = sort1(packed16, scalars, ri)
+        outs2 = sort2(outs)
+        scan_k = rake(outs2[1], tuple(outs2[2:]))
+        C = carries(outs2[1], scan_k)
+        bj = tails(outs[0], outs2[1], scan_k, C)
+        return fold(bacc, bj)
+
+    return round_buckets
 
 
 def _bucket_phase_batched(ops, buckets, nbuckets: int, K2: int):
@@ -209,21 +278,23 @@ def msm_chunked(points, scalars, curve: CurveSpec, *,
         n += pad
 
     prep = _prep_fn(curve, use_glv)
-    round_step = _round_fn(curve, n_eff, c, K)
+    round_buckets = _stage_fns(curve, n_eff, c, K)
     ops = JacobianOps(curve)
 
-    # per-round running bucket planes (separate arrays: .at[].set would
-    # copy the full (16, R, 2^c) stack every step)
+    # per-round running bucket planes; all dispatches below are async —
+    # the device pipeline runs 6 stages x rounds x chunks back-to-back
+    # with one sync at the very end (inside the caller's block)
     accs = [
         tuple(jnp.asarray(a) for a in ops.c_infinity((nbuckets,)))
         for _ in range(rounds)
     ]
 
     for base in range(0, n, chunk):
-        packed16, sc = prep(X[:, base:base + chunk], Y[:, base:base + chunk],
+        packed16, sc = prep(X[:, base:base + chunk],
+                            Y[:, base:base + chunk],
                             scalars[:, base:base + chunk])
         for ri in range(rounds):
-            accs[ri] = round_step(packed16, sc, *accs[ri], jnp.int32(ri))
+            accs[ri] = round_buckets(packed16, sc, jnp.int32(ri), accs[ri])
 
     stacked = tuple(
         jnp.stack([a[i] for a in accs], axis=1) for i in range(3)

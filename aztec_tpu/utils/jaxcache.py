@@ -59,7 +59,14 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
 
     if os.environ.get("AZTEC_NO_CPU_CACHE"):
         return None
-    path = os.path.join(base, _machine_tag())
+    # Partition by backend: entries are AOT artifacts of ONE compiler.
+    # Sharing a dir means a corrupt/poisoned entry for one backend (e.g.
+    # the tunneled-TPU deserialize hang observed r4 after a client crash)
+    # can wedge loads for every backend; separate dirs make recovery a
+    # one-backend wipe.
+    backend_tag = os.environ.get("JAX_PLATFORMS", "") or "device"
+    backend_tag = backend_tag.split(",")[0].strip() or "device"
+    path = os.path.join(base, f"{_machine_tag()}-{backend_tag}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -88,9 +95,11 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
             import warnings
 
             with warnings.catch_warnings():
-                warnings.filterwarnings(
-                    "ignore", message=".*os.fork.*", category=RuntimeWarning
-                )
+                # jax's RuntimeWarning ("os.fork() was called") and CPython's
+                # DeprecationWarning ("multi-threaded, use of fork() may lead
+                # to deadlocks") both fire here; both describe the deadlock
+                # case the alarm below already bounds.
+                warnings.filterwarnings("ignore", message=".*fork.*")
                 pid = os.fork()
             if pid == 0:
                 code = 1
