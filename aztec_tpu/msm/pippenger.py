@@ -458,6 +458,10 @@ def msm(points, scalars, curve: CurveSpec, config: MSMConfig | None = None):
 
     X, Y = points
     n = X.shape[1]
+    # an explicitly-passed config routes to the jit engine below: the
+    # chunked path hard-codes its geometry (c=16/K=64/chunk=2^17), so
+    # honoring caller tuning means skipping it (ADVICE r4 low #1)
+    explicit_config = config is not None
     if config is None:
         config = default_config(n)
     use_glv = config.glv and glv_mod.glv_params(curve) is not None
@@ -485,6 +489,7 @@ def msm(points, scalars, curve: CurveSpec, config: MSMConfig | None = None):
     from . import chunked
 
     if (not isinstance(X, jax.core.Tracer)
+            and not explicit_config
             and jax.default_backend() == "tpu"
             and n >= 1 << 12):
         from ..ff import pallas_field as pf

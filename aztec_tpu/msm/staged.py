@@ -100,10 +100,13 @@ def msm_staged(points, scalars, curve: CurveSpec, n: int, c: int, K: int,
     packed16, sc = _prep_fn(curve, use_glv)(X, Y, scalars)
     round_step = _round_fn(curve, n_eff, c, K)
 
+    from .chunked import _ri_consts
+
     ops = JacobianOps(curve)
+    ri_dev = _ri_consts(rounds)
     acc = tuple(jnp.asarray(a) for a in ops.c_infinity((1,)))
     for ri in range(rounds - 1, -1, -1):
-        acc = round_step(packed16, sc, *acc, jnp.int32(ri))
+        acc = round_step(packed16, sc, *acc, ri_dev[ri])
     if not return_jacobian:
         return acc
     return _finish_fn(curve)(*acc)

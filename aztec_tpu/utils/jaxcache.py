@@ -66,6 +66,14 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
     # one-backend wipe.
     backend_tag = os.environ.get("JAX_PLATFORMS", "") or "device"
     backend_tag = backend_tag.split(",")[0].strip() or "device"
+    if backend_tag == "device":
+        # env unset: resolve the implicit backend choice so TPU and CPU
+        # runs never share a dir (ADVICE r4 low #3).  This initializes the
+        # backend early, which is fine — every caller is about to use it.
+        try:
+            backend_tag = jax.default_backend()
+        except Exception:
+            pass
     path = os.path.join(base, f"{_machine_tag()}-{backend_tag}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

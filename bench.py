@@ -232,27 +232,31 @@ def worker():
             r = msm((X, Y), scalars, BN254_G1)  # warm-up (compile)
             r[0].block_until_ready()
 
-            # correctness gate: points are tau^i * G, so the expected MSM
-            # result is (sum_i k_i tau^i mod r) * G — one host scalar-mul
-            if log2n <= 14:
-                kk = sum(
-                    s * t for s, t in zip(scal_ints[:n], taus[:n])
-                ) % BN254_G1.order
-                expect = golden.GoldenCurve(BN254_G1).mul(
-                    kk, (BN254_G1.gen_x, BN254_G1.gen_y))
-                got = jacobian_to_host(r, BN254_G1)[0]  # width-1 batch
-                if got != expect:
-                    raise RuntimeError("MSM result mismatch vs host golden")
-                print(f"# 2^{log2n} correctness OK", file=sys.stderr,
-                      flush=True)
+            # correctness gate, EVERY size (VERDICT r4 weak #5): points are
+            # tau^i * G, so the expected MSM result is
+            # (sum_i k_i tau^i mod r) * G — O(n) host modmuls (seconds at
+            # 2^20) + one host scalar-mul.  An unverified headline number
+            # is worthless.
+            kk = sum(
+                s * t for s, t in zip(scal_ints[:n], taus[:n])
+            ) % BN254_G1.order
+            expect = golden.GoldenCurve(BN254_G1).mul(
+                kk, (BN254_G1.gen_x, BN254_G1.gen_y))
+            got = jacobian_to_host(r, BN254_G1)[0]  # width-1 batch
+            if got != expect:
+                raise RuntimeError("MSM result mismatch vs host golden")
+            print(f"# 2^{log2n} correctness OK", file=sys.stderr,
+                  flush=True)
 
-            # dependency-chained timing: the TPU tunnel memoizes identical
-            # (executable, args) executions, so same-args loops read ~0
+            # honest timing: every iteration rolls the WHOLE scalar array
+            # (fresh values in every limb plane), because the tunneled
+            # backend memoizes identical (executable, args) executions —
+            # a single-element tweak left same-digit rounds memoized and
+            # inflated the r4 headline (chip_probe dep-test, r5)
             iters = 3 if log2n < 20 else 2
             t1 = time.perf_counter()
             for it in range(iters):
-                tweak = (r[0][0, 0] & jnp.uint32(1)) + jnp.uint32(it)
-                sc2 = scalars.at[0, 0].set(scalars[0, 0] ^ tweak)
+                sc2 = jnp.roll(scalars, it + 1, axis=1)
                 r = msm((X, Y), sc2, BN254_G1)
             r[0].block_until_ready()
             dt = (time.perf_counter() - t1) / iters

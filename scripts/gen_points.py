@@ -55,8 +55,13 @@ for base in range(0, n, chunk):
     sc_tbl = jnp.asarray(tau_limbs[:, base:base + chunk])
     P = fixed_base_mul(sc_tbl, BN254_G1)
     Xc, Yc, inf = group.to_affine(P, BN254_G1.field)
-    xs.append(np.asarray(Xc).astype(np.uint16))
-    ys.append(np.asarray(Yc).astype(np.uint16))
+    Xc, Yc, inf = np.asarray(Xc), np.asarray(Yc), np.asarray(inf)
+    # guard the persistent cache all later benches trust (ADVICE r4 low):
+    # limbs must genuinely be 16-bit and tau^i * G is never infinity
+    assert (Xc < (1 << 16)).all() and (Yc < (1 << 16)).all(), "limb overflow"
+    assert not inf.any(), "unexpected infinity in SRS table"
+    xs.append(Xc.astype(np.uint16))
+    ys.append(Yc.astype(np.uint16))
     np.savez(cf, X=xs[-1], Y=ys[-1])
     print(f"chunk {base + chunk}/{n}: {time.time()-t0:.0f}s", flush=True)
 Xall = np.concatenate(xs, axis=1)
