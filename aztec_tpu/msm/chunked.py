@@ -116,101 +116,6 @@ def _prep_fn(curve: CurveSpec, use_glv: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_fns(curve: CurveSpec, n: int, c: int, K: int):
-    """The six per-round device programs, one jit each.
-
-    Granularity is a MEASUREMENT, not taste (r4, tunneled v5e, n=2^18):
-    run as these six executables chained back-to-back the round costs
-    ~4.5 ms of device time; the same math composed into ONE module runs
-    21 ms/round pipelined (47 ms blocked), and fusing a whole 8-round
-    chunk into one program hit both a 60x slowdown and a tunnel-client
-    panic on input-output aliasing.  Small chained executables win on
-    this backend: per-dispatch overhead is sub-ms when the client
-    pipelines, and each module keeps the layouts XLA chose for it.
-
-      sort1   digit extraction + 17-row variadic sort (groups by digit)
-      sort2   fixed rank -> K-major relayout sort (rake reads tiles)
-      rake    fused Pallas segment-scan over (K, B) tiles
-      carries cross-block carries (Hillis segmented scan over B)
-      tails   bucket-tail gather + carry add -> Jacobian bucket planes
-      fold    j2c + complete add into the round's running planes
-    """
-    ops = JacobianOps(curve)
-    B = n // K
-    nbuckets = 1 << c
-    mask_c = jnp.uint32(nbuckets - 1)
-
-    @jax.jit
-    def sort1(packed16, scalars, ri):
-        limb_row = lax.dynamic_index_in_dim(
-            scalars, (c * ri) // 16, axis=0, keepdims=False)
-        d = (limb_row >> ((c * ri) % 16).astype(jnp.uint32)) & mask_c
-        return lax.sort((d,) + tuple(packed16), num_keys=1)
-
-    @jax.jit
-    def sort2(outs):
-        r_idx = jnp.arange(n, dtype=jnp.uint32)
-        km = (r_idx % K) * B + r_idx // K
-        return lax.sort((km,) + tuple(outs), num_keys=1)
-
-    @jax.jit
-    def rake(sdk_flat, rest):
-        SPk = jnp.stack(rest, axis=0)
-        dig_k = sdk_flat.reshape(K, B // 128, 128)
-        pk = SPk.reshape(16, K, B // 128, 128)
-        return ops.rake_scan_packed(dig_k, pk, B, K)
-
-    @jax.jit
-    def carries(sdk_flat, scan_k):
-        sdk = sdk_flat.reshape(K, B)
-        T = tuple(sc.reshape(16, n)[:, (K - 1) * B:] for sc in scan_k)
-        internal = jnp.any(sdk[1:] != sdk[:-1], axis=0)
-        return pp._block_carries_from(ops, sdk[0], sdk[K - 1], internal,
-                                      T, B)
-
-    @jax.jit
-    def tails(sd, sdk_flat, scan_k, C):
-        edges = jnp.searchsorted(
-            sd, jnp.arange(nbuckets + 1).astype(sd.dtype))
-        frk_flat = (sdk_flat.reshape(K, B)
-                    == sdk_flat.reshape(K, B)[:1]).reshape(n)
-        jidx = jnp.arange(nbuckets)
-        count_j = edges[1:] - edges[:-1]
-        valid = (count_j > 0) & (jidx > 0)
-        tc = jnp.clip(edges[1:].astype(jnp.int32) - 1, 0, n - 1)
-        kpos = tc % K
-        bpos = tc // K
-        tk = kpos * B + bpos
-        g = tuple(jnp.take(sc.reshape(16, n), tk, axis=1) for sc in scan_k)
-        cg = tuple(jnp.take(cc, bpos, axis=-1) for cc in C)
-        frj = jnp.take(frk_flat, tk)
-        carry = ops.select(frj & valid, cg, ops.infinity((nbuckets,)))
-        bt = ops.add_unsafe(g, carry)
-        return ops.select(valid, bt, ops.infinity((nbuckets,)))
-
-    @jax.jit
-    def fold(bacc, bj):
-        return ops.c_add(bacc, ops.j2c(bj))
-
-    def round_buckets(packed16, scalars, ri, bacc):
-        outs = sort1(packed16, scalars, ri)
-        outs2 = sort2(outs)
-        scan_k = rake(outs2[1], tuple(outs2[2:]))
-        C = carries(outs2[1], scan_k)
-        bj = tails(outs[0], outs2[1], scan_k, C)
-        return fold(bacc, bj)
-
-    # expose the individual stage jits for the chip profiler
-    # (tools/chip_probe.py chunked-profile) — same executables the
-    # driver dispatches, so stage timings ARE production timings
-    round_buckets.stages = {
-        "sort1": sort1, "sort2": sort2, "rake": rake,
-        "carries": carries, "tails": tails, "fold": fold,
-    }
-    return round_buckets
-
-
-@functools.lru_cache(maxsize=None)
 def _stage_fns_batched(curve: CurveSpec, n: int, c: int, K: int, R: int):
     """Round-BATCHED per-chunk device programs (round-5 redesign).
 
@@ -240,27 +145,41 @@ def _stage_fns_batched(curve: CurveSpec, n: int, c: int, K: int, R: int):
     mask_c = jnp.uint32(nbuckets - 1)
 
     @jax.jit
-    def sort1(packed16, scalars):
-        # digits for ALL R rounds: row r = c-bit window r of each scalar
+    def sort1(scalars):
+        """Sort (digit, source-index) pairs for ALL R rounds at once.
+
+        The point rows do NOT ride the sort (the r4 design paid a
+        17-payload radix sort + relayout): the rake stage re-reads them
+        with one fused row gather of the prep-materialized (n, 16) table
+        — the reference's point_schedule idea (scalar_multiplication.
+        cpp:198-260), restaged for the TPU's fast gather lowering."""
         rows = []
         for ri in range(R):
             limb_row = scalars[(c * ri) // 16]
             rows.append((limb_row >> jnp.uint32((c * ri) % 16)) & mask_c)
         digR = jnp.stack(rows, axis=0)                      # (R, n)
-        pay = tuple(jnp.broadcast_to(p, (R, n)) for p in packed16)
-        return lax.sort((digR,) + pay, dimension=1, num_keys=1)
+        iota = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.uint32)[None], (R, n))
+        return lax.sort((digR, iota), dimension=1, num_keys=1)
 
     def _kmajor(x):
         # (R, n) rank-major -> (K, R*B) K-major lanes (lane = r*B + b)
         return x.reshape(R, B, K).transpose(2, 0, 1).reshape(K, Bp)
 
     @jax.jit
-    def rake(sdR, SPR):
-        dig_k = _kmajor(sdR).reshape(K, Bp // 128, 128)
-        pk = jnp.stack([_kmajor(p) for p in SPR], axis=0)
-        pk = pk.reshape(16, K, Bp // 128, 128)
-        scan_k = ops.rake_scan_packed(dig_k, pk, Bp, K)
-        return scan_k + (dig_k.reshape(K, Bp),)
+    def rake(sdR, idxR, packed16):
+        dig_k = _kmajor(sdR)
+        colk = _kmajor(idxR).reshape(K * Bp)
+        # ONE per-chunk point gather into K-major order (~21 ns/elem on
+        # this chip for every orientation tried — chip_probe gather2-test;
+        # the r4 alternative, 17 payload rows riding the radix sort +
+        # transposes, moves the same bytes for the same cost with 3x the
+        # sort passes)
+        SPk = jnp.take(packed16, colk, axis=1)
+        pk = SPk.reshape(16, K, Bp // 128, 128)
+        scan_k = ops.rake_scan_packed(
+            dig_k.reshape(K, Bp // 128, 128), pk, Bp, K)
+        return scan_k + (dig_k,)
 
     @jax.jit
     def carries(sdk, scan_k):
@@ -276,11 +195,32 @@ def _stage_fns_batched(curve: CurveSpec, n: int, c: int, K: int, R: int):
         return ops.select(cont, pp._roll(scanned, 1),
                           ops.infinity((Bp,)))
 
+    def _digit_counts(sdR):
+        """counts[r, j] = #digits_r == j via a two-level one-hot MXU
+        histogram: digit = hi*256 + lo, H2[hi, lo] = A_hi^T A_lo with
+        0/1 bf16 one-hots and f32 accumulation — exact (counts <= n <
+        2^24).  Replaces searchsorted entirely: the scan lowering costs
+        ~30 ns/probe (315 ms/chunk) and even the sort-based method costs
+        29 ms; two 256-wide matmuls per round ride the MXU at ~1 ms
+        (chip_probe tails-test, r5)."""
+        ar = jnp.arange(256, dtype=sdR.dtype)
+        outs = []
+        for r in range(R):
+            hi = (sdR[r] >> jnp.uint32(8))[:, None] == ar[None]
+            lo = (sdR[r] & jnp.uint32(0xFF))[:, None] == ar[None]
+            h2 = jax.lax.dot_general(
+                hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (256, 256)
+            outs.append(h2.reshape(nbuckets))
+        return jnp.round(jnp.stack(outs)).astype(jnp.int32)  # (R, nb)
+
     @jax.jit
     def tails(sdR, sdk, scan_k, C):
-        # per-round bucket edges: edges[r, j] = #digits_r < j
-        q = jnp.arange(nbuckets + 1).astype(sdR.dtype)
-        edges = jax.vmap(lambda s: jnp.searchsorted(s, q))(sdR)  # (R, nb+1)
+        counts = _digit_counts(sdR)
+        edges = jnp.concatenate(
+            [jnp.zeros((R, 1), jnp.int32),
+             jnp.cumsum(counts, axis=1, dtype=jnp.int32)], axis=1)
         jidx = jnp.arange(nbuckets)[None]
         count_j = edges[:, 1:] - edges[:, :-1]
         valid = (count_j > 0) & (jidx > 0)                  # (R, nb)
@@ -288,12 +228,24 @@ def _stage_fns_batched(curve: CurveSpec, n: int, c: int, K: int, R: int):
         kk = tc % K                                          # serial step
         lane = jnp.arange(R, dtype=jnp.int32)[:, None] * B + tc // K
         col = (kk * Bp + lane).reshape(R * nbuckets)
-        g = tuple(jnp.take(sc.reshape(16, K * Bp), col, axis=1)
-                  .reshape(16, R, nbuckets) for sc in scan_k)
-        cg = tuple(jnp.take(cc, lane.reshape(-1), axis=-1)
-                   .reshape(cc.shape[:-1] + (R, nbuckets)) for cc in C)
-        frk = (sdk == sdk[:1]).reshape(K * Bp)
-        frj = jnp.take(frk, col).reshape(R, nbuckets)
+        # Per-coordinate fused row gathers: take(T.T, cols).T is the fast
+        # TPU gather lowering (0.76 ms at 2^19 rows from a 2^21 table);
+        # the minor-axis form costs 232 ms (chip_probe gather-test).
+        g = tuple(
+            jnp.take(sc.reshape(16, K * Bp).T, col, axis=0).T
+            .reshape(16, R, nbuckets) for sc in scan_k)
+        # bucket j's tail sits in its lane's FIRST run iff the run began
+        # at or before the lane's first element — arithmetic on edges,
+        # no gather (the r4 design gathered a flag plane instead)
+        frj = edges[:, :-1].astype(jnp.int32) <= tc - (tc % K)
+        # carry table: explicitly materialize the (Bp, 48) row-major
+        # transpose (optimization_barrier) — the FUSED small-table form
+        # costs 110 ms (chip_probe tails-test)
+        CVT = lax.optimization_barrier(
+            jnp.concatenate(C, axis=0).T)                    # (Bp, 48)
+        CR = jnp.take(CVT, lane.reshape(R * nbuckets), axis=0).T
+        cg = tuple(CR[16 * i:16 * (i + 1)].reshape(16, R, nbuckets)
+                   for i in range(3))
         carry = ops.select(frj & valid, cg,
                            ops.infinity((R, nbuckets)))
         bt = ops.add_unsafe(g, carry)
@@ -303,13 +255,13 @@ def _stage_fns_batched(curve: CurveSpec, n: int, c: int, K: int, R: int):
     def fold(bacc, bj):
         return ops.c_add(bacc, ops.j2c(bj))
 
-    def chunk_buckets(packed16, scalars, bacc):
+    def chunk_buckets(PT, scalars, bacc):
         """ONE chunk, ALL rounds: 5 chained dispatches."""
-        outs = sort1(packed16, scalars)
-        rk = rake(outs[0], tuple(outs[1:]))
+        sdR, idxR = sort1(scalars)
+        rk = rake(sdR, idxR, PT)
         scan_k, sdk = rk[:3], rk[3]
         C = carries(sdk, scan_k)
-        bj = tails(outs[0], sdk, scan_k, C)
+        bj = tails(sdR, sdk, scan_k, C)
         return fold(bacc, bj)
 
     chunk_buckets.stages = {

@@ -74,14 +74,13 @@ def _sharded_fns(curve: CurveSpec, mesh: Mesh, axis: str, n_eff: int,
 
     prep = sm(prep_local, (pt, pt, pt), (pt, pt))
 
-    sort1 = sm(lambda packed16, sc: local["sort1"](packed16, sc),
-               (pt, pt), (pt,) * 17)
+    sort1 = sm(lambda sc: local["sort1"](sc), (pt,), (pt, pt))
 
-    def rake_l(sdR, SPR):
-        out = local["rake"](sdR, SPR)
+    def rake_l(sdR, idxR, packed16):
+        out = local["rake"](sdR, idxR, packed16)
         return out                       # 3 scan containers + sdk
 
-    rake = sm(rake_l, (pt, (pt,) * 16), (p3,) * 3 + (pt,))
+    rake = sm(rake_l, (pt, pt, pt), (p3,) * 3 + (pt,))
 
     carries = sm(lambda sdk, scan_k: local["carries"](sdk, scan_k),
                  (pt, (p3,) * 3), (pt,) * 3)
@@ -182,11 +181,11 @@ def sharded_msm_chunked(mesh: Mesh, axis: str, points, scalars,
         Yg = jax.device_put(Y[:, base:base + span], pt_shard)
         Sg = jax.device_put(scalars[:, base:base + span], pt_shard)
         packed16, sc = fns["prep"](Xg, Yg, Sg)
-        outs = fns["sort1"](packed16, sc)
-        rk = fns["rake"](outs[0], tuple(outs[1:]))
+        sdR, idxR = fns["sort1"](sc)
+        rk = fns["rake"](sdR, idxR, packed16)
         scan_k, sdk = rk[:3], rk[3]
         C = fns["carries"](sdk, tuple(scan_k))
-        bj = fns["tails"](outs[0], sdk, tuple(scan_k), tuple(C))
+        bj = fns["tails"](sdR, sdk, tuple(scan_k), tuple(C))
         acc = fns["fold"](tuple(acc), tuple(bj))
 
     part = fns["finish"](*acc)

@@ -30,8 +30,9 @@ from typing import Callable, List, Optional
 
 class WorkType(enum.Enum):
     MSM = 1
-    FFT = 2       # small-domain monomial -> 4n coset FFT
-    IFFT = 3      # lagrange -> monomial
+    FFT = 2        # small-domain monomial -> 4n coset FFT
+    IFFT = 3       # lagrange -> monomial
+    SMALL_FFT = 4  # one n-sized quarter of a 4n coset FFT (4-way split)
 
 
 @dataclasses.dataclass
@@ -41,6 +42,8 @@ class WorkItem:
     get_data: Callable            # () -> operand arrays (lazy)
     put_result: Callable          # (result) -> None (store / transcript)
     size: int = 0                 # MSM length hint (reference: `constant`)
+    index: int = 0                # SMALL_FFT coset quarter j in 0..3
+                                  # (reference: work_item::index)
 
 
 @dataclasses.dataclass
@@ -108,6 +111,52 @@ class WorkQueue:
     def put_fft_data(self, result, i: int):
         self._nth(WorkType.FFT, i).put_result(result)
 
+    def get_small_fft_data(self, i: int):
+        """(monomial (L, n) planes, coset quarter j) for SMALL_FFT item i
+        (ref: work_queue.hpp:166-200, the WASM 4-way coset split)."""
+        it = self._nth(WorkType.SMALL_FFT, i)
+        return it.get_data(), it.index
+
+    def put_small_fft_data(self, result, i: int):
+        self._nth(WorkType.SMALL_FFT, i).put_result(result)
+
+    # -- 4-way coset split ---------------------------------------------------
+    def expand_small_ffts(self):
+        """Replace every FFT item with FOUR independent SMALL_FFT quarter
+        items — the reference's work_queue.hpp:166-200 split, and the seam
+        a sharded/multi-host executor uses to fan one 4n coset FFT across
+        devices.  Quarter j computes the n-point coset FFT at generator
+        g * w_{4n}^j, i.e. the large-domain evaluations at indices
+        m = 4k + j.  When all four quarters of an item have reported, the
+        interleaved (L, 4n) result is handed to the ORIGINAL put_result.
+        """
+        import jax.numpy as jnp
+
+        new_items: List[WorkItem] = []
+        for it in self.items:
+            if it.work_type != WorkType.FFT:
+                new_items.append(it)
+                continue
+
+            slots = [None, None, None, None]
+            orig_put = it.put_result
+
+            def make_put(j, slots=slots, orig_put=orig_put):
+                def put(result):
+                    slots[j] = result
+                    if all(s is not None for s in slots):
+                        # out[:, 4k+j] = slots[j][:, k]
+                        inter = jnp.stack(slots, axis=-1)
+                        L = inter.shape[0]
+                        orig_put(inter.reshape(L, -1))
+                return put
+
+            for j in range(4):
+                new_items.append(WorkItem(
+                    WorkType.SMALL_FFT, it.tag, it.get_data,
+                    make_put(j), index=j))
+        self.items = new_items
+
     # -- built-in executor ----------------------------------------------------
     def process_queue(self, executor: Optional["Executor"] = None):
         """Drain every item (ref: work_queue.hpp:208-280).  ``executor``
@@ -158,8 +207,24 @@ def _local_execute(key, it: WorkItem):
 
         it.put_result(pfft.coset_fft(key._extend(it.get_data()),
                                      key.large_domain))
+    elif it.work_type == WorkType.SMALL_FFT:
+        it.put_result(small_fft_quarter(key, it.get_data(), it.index))
     else:  # pragma: no cover
         raise ValueError(it.work_type)
+
+
+def small_fft_quarter(key, mono, j: int):
+    """Quarter j of the 4n coset FFT of an (L, n) monomial: the n-point
+    coset FFT with generator g * w_{4n}^j (large-domain indices 4k + j).
+    Exact for degree < n, which every queued monomial satisfies (the FFT
+    path zero-extends the same (L, n) planes)."""
+    from ..poly import fft_ops as pfft
+    from ..ff.bn254 import FR_MOD
+
+    g = key.small_domain.generator
+    w4n = key.large_domain.root
+    gen = g * pow(w4n, j, FR_MOD) % FR_MOD
+    return pfft.coset_fft(mono, key.small_domain, generator=gen)
 
 
 class MeshExecutor(Executor):
@@ -172,6 +237,15 @@ class MeshExecutor(Executor):
         self.axis = axis
 
     def handle(self, key, item: WorkItem) -> bool:
+        if item.work_type == WorkType.SMALL_FFT:
+            # one coset quarter per device: computation follows placement
+            import jax
+
+            dev = self.mesh.devices.reshape(-1)[item.index
+                                                % self.mesh.size]
+            mono = jax.device_put(item.get_data(), dev)
+            item.put_result(small_fft_quarter(key, mono, item.index))
+            return True
         if item.work_type != WorkType.MSM:
             return False
         import numpy as np

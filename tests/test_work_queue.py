@@ -129,3 +129,90 @@ def test_prover_external_msm_executor_byte_identical():
 
     assert ex.serviced >= 5  # 3 wires + Z + T splits + PI_Z + PI_Z_OMEGA
     assert proof1 == proof2
+
+
+def test_small_fft_split_matches_direct_coset_fft():
+    """expand_small_ffts must turn one FFT item into four SMALL_FFT
+    quarters whose interleaved results equal the direct 4n coset FFT
+    (ref: work_queue.hpp:166-200, the WASM 4-way split)."""
+    import jax.numpy as jnp
+
+    from aztec_tpu.ff import FR, limb
+    from aztec_tpu.ff.bn254 import FR_MOD
+    from aztec_tpu.numeric.bigint import ints_to_limbs
+    from aztec_tpu.poly import fft_ops as pfft
+    from aztec_tpu.poly.domain import EvaluationDomain
+
+    n = 16
+
+    class Key:
+        small_domain = EvaluationDomain(n)
+        large_domain = EvaluationDomain(4 * n)
+
+        def _extend(self, mono):
+            pad = jnp.zeros((mono.shape[0], 3 * n), jnp.uint32)
+            return jnp.concatenate([mono, pad], axis=1)
+
+    key = Key()
+    rng = np.random.default_rng(11)
+    mono = limb.to_mont(jnp.asarray(ints_to_limbs(
+        [int(v) % FR_MOD for v in rng.integers(1, 1 << 62, size=n)])), FR)
+
+    direct = pfft.coset_fft(key._extend(mono), key.large_domain)
+
+    got = []
+    q = WorkQueue(key)
+    q.add_to_queue(WorkItem(WorkType.FFT, "w_1", lambda: mono,
+                            lambda r: got.append(r)))
+    q.expand_small_ffts()
+    info = q.get_queued_work_item_info()
+    assert info.num_ffts == 0
+    assert len(q.items) == 4
+    # quarters must be independently addressable through the getter API
+    for i in range(4):
+        data, j = q.get_small_fft_data(i)
+        assert j == i and data is mono
+    q.process_queue()
+    assert len(got) == 1
+    assert np.array_equal(np.asarray(got[0]), np.asarray(direct))
+
+
+def test_small_fft_quarters_distributable():
+    """Each quarter can be serviced out of order by an external executor
+    (simulating per-device dispatch) and the assembly still fires once,
+    with the correct interleave."""
+    import jax.numpy as jnp
+
+    from aztec_tpu.ff import FR, limb
+    from aztec_tpu.ff.bn254 import FR_MOD
+    from aztec_tpu.numeric.bigint import ints_to_limbs
+    from aztec_tpu.plonk.work_queue import small_fft_quarter
+    from aztec_tpu.poly import fft_ops as pfft
+    from aztec_tpu.poly.domain import EvaluationDomain
+
+    n = 16
+
+    class Key:
+        small_domain = EvaluationDomain(n)
+        large_domain = EvaluationDomain(4 * n)
+
+        def _extend(self, mono):
+            pad = jnp.zeros((mono.shape[0], 3 * n), jnp.uint32)
+            return jnp.concatenate([mono, pad], axis=1)
+
+    key = Key()
+    rng = np.random.default_rng(13)
+    mono = limb.to_mont(jnp.asarray(ints_to_limbs(
+        [int(v) % FR_MOD for v in rng.integers(1, 1 << 62, size=n)])), FR)
+    direct = pfft.coset_fft(key._extend(mono), key.large_domain)
+
+    got = []
+    q = WorkQueue(key)
+    q.add_to_queue(WorkItem(WorkType.FFT, "w_1", lambda: mono,
+                            lambda r: got.append(r)))
+    q.expand_small_ffts()
+    for i in (2, 0, 3, 1):   # out-of-order external servicing
+        data, j = q.get_small_fft_data(i)
+        q.put_small_fft_data(small_fft_quarter(key, data, j), i)
+    assert len(got) == 1
+    assert np.array_equal(np.asarray(got[0]), np.asarray(direct))

@@ -6,7 +6,9 @@ msm_time, time_msm20, staged_check).  Subcommands:
 
   chunked-profile [log2n]   per-stage breakdown of the chunked MSM
   dispatch                  tunnel dispatch/sync latency
-  fft [log2n]               Stockham fft/ifft/coset timings
+  micro / batch-test / dep-test / gather-test / tails-test
+                            dispatch+lowering forensics (r5 findings)
+  fft [sizes...]            Stockham fft/ifft/coset timings
   help
 
 All timings are wall-clock with explicit block_until_ready barriers; the
@@ -97,12 +99,12 @@ def cmd_chunked_profile(argv):
         stage_t["prep"].append(time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        outs = rb.stages["sort1"](packed16, sc)
-        jax.block_until_ready(outs)
+        sdR, idxR = rb.stages["sort1"](sc)
+        jax.block_until_ready(sdR)
         stage_t["sort1"].append(time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        rk = rb.stages["rake"](outs[0], tuple(outs[1:]))
+        rk = rb.stages["rake"](sdR, idxR, packed16)
         jax.block_until_ready(rk)
         stage_t["rake"].append(time.perf_counter() - t0)
         scan_k, sdk = rk[:3], rk[3]
@@ -113,7 +115,7 @@ def cmd_chunked_profile(argv):
         stage_t["carries"].append(time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        bj = rb.stages["tails"](outs[0], sdk, scan_k, C)
+        bj = rb.stages["tails"](sdR, sdk, scan_k, C)
         jax.block_until_ready(bj)
         stage_t["tails"].append(time.perf_counter() - t0)
 
@@ -165,143 +167,50 @@ def cmd_dispatch(argv):
 
 
 def cmd_fft(argv):
-    log2n = int(argv[0]) if argv else 20
+    """Stockham fft/ifft/coset timings on the chip (VERDICT r4 #5).
+    Sizes default to the prover's real domains at 2^20 gates: n and 4n."""
+    sizes = [int(a) for a in argv] or [20, 22]
     import jax
     import jax.numpy as jnp
     from aztec_tpu.poly import fft as fftmod
-    from aztec_tpu.ff.bn254 import FrOps
-
-    fr = FrOps()
-    n = 1 << log2n
-    rng = np.random.default_rng(3)
-    a = jnp.asarray(rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32))
-
-    results = {}
-    for name, fn in (
-        ("fft", lambda v: fftmod.fft(v, fr, n)),
-        ("ifft", lambda v: fftmod.ifft(v, fr, n)),
-        ("coset_fft", lambda v: fftmod.coset_fft(v, fr, n)),
-    ):
-        g = jax.jit(fn)
-        r = g(a)
-        jax.block_until_ready(r)
-        iters = 4
-        t0 = time.perf_counter()
-        v = a
-        for it in range(iters):
-            # dependency-chain through a tweak to defeat memoization
-            v = v.at[0, 0].set(r[0][0, 0] & jnp.uint32(0x7FFF) | jnp.uint32(it))
-            r = g(v)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / iters
-        results[name] = dt
-        print(f"{name:10s} n=2^{log2n}: {dt*1e3:8.2f} ms  "
-              f"({16*4*n*np.log2(n)/dt/1e9:.1f} GB-ish/s eff)", flush=True)
-    print(json.dumps({f"{k}_2pow{log2n}_ms": round(v * 1e3, 2)
-                      for k, v in results.items()}))
-    return 0
-
-
-def cmd_stage_chain(argv):
-    """Chained (non-blocking) per-stage throughput at the production
-    chunk geometry: N back-to-back executions of ONE stage with varying
-    args, one final block.  Separates device+dispatch THROUGHPUT from the
-    ~27 ms blocking round-trip the serialized profile pays per call."""
-    iters = int(argv[0]) if argv else 16
-    import jax
-    import jax.numpy as jnp
-    from aztec_tpu.curves.spec import BN254_G1
-    from aztec_tpu.curves.group_ops import JacobianOps
-    from aztec_tpu.msm import chunked
+    from aztec_tpu.poly.domain import EvaluationDomain
+    from aztec_tpu.ff import FR, limb
+    from aztec_tpu.ff.bn254 import FR_MOD
+    from aztec_tpu.numeric.bigint import ints_to_limbs
 
     print(f"backend: {jax.default_backend()}", flush=True)
-    log2n = chunked.CHUNK_LOG2
-    Xh, Yh = _bench_points(log2n)
-    _, sl = _scalars(log2n)
-    X, Y = jnp.asarray(Xh), jnp.asarray(Yh)
-    scalars = jnp.asarray(sl)
-    curve = BN254_G1
-    n_eff, _ = chunked._chunk_geometry(chunked.CHUNK_LOG2, True,
-                                       chunked.RAKE_K)
-    nbuckets = 1 << 16
-    ops = JacobianOps(curve)
-    prep = chunked._prep_fn(curve, True)
-    rb = chunked._stage_fns(curve, n_eff, 16, chunked.RAKE_K)
-
-    packed16, sc = prep(X, Y, scalars)
-    jax.block_until_ready(packed16)
-
-    # one full round per ri to stage inputs for each stage
-    outs = rb.stages["sort1"](packed16, sc, jnp.int32(0))
-    outs2 = rb.stages["sort2"](outs)
-    scan_k = rb.stages["rake"](outs2[1], tuple(outs2[2:]))
-    C = rb.stages["carries"](outs2[1], scan_k)
-    bj = rb.stages["tails"](outs[0], outs2[1], scan_k, C)
-    bacc = tuple(jnp.asarray(a) for a in ops.c_infinity((nbuckets,)))
-    jax.block_until_ready((outs, outs2, scan_k, C, bj))
-
-    # dynamic-index tweaks, ONE compile each (a Python-int index would
-    # recompile the scatter every iteration and poison the timing)
-    @jax.jit
-    def tw1(a, i):
-        return a.at[i].set(a[i] ^ jnp.uint32(1))
-
-    @jax.jit
-    def tw2(a, i):
-        return a.at[0, i].set(a[0, i] ^ jnp.uint32(1))
-
-    def chain(name, fn, warm_tweaks):
-        jax.block_until_ready(warm_tweaks(0))   # compile the tweak fns
-        jax.block_until_ready(fn(1))            # ensure stage itself warm
-        t0 = time.perf_counter()
-        r = None
-        for it in range(iters):
-            r = fn(it)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / iters
-        print(f"  {name:8s} {dt*1e3:8.2f} ms/call (chained x{iters})",
-              flush=True)
-        return dt
-
-    res = {}
-    res["prep"] = chain(
-        "prep",
-        lambda it: prep(X, Y, tw2(scalars, jnp.int32(it % 64))),
-        lambda it: tw2(scalars, jnp.int32(it)))
-    res["sort1"] = chain(
-        "sort1",
-        lambda it: rb.stages["sort1"](packed16, sc, jnp.int32(it % 8)),
-        lambda it: jnp.int32(it))
-    res["sort2"] = chain(
-        "sort2",
-        lambda it: rb.stages["sort2"](
-            (tw1(outs[0], jnp.int32(it)),) + tuple(outs[1:])),
-        lambda it: tw1(outs[0], jnp.int32(it)))
-    res["rake"] = chain(
-        "rake",
-        lambda it: rb.stages["rake"](
-            tw1(outs2[1], jnp.int32(it % 7)), tuple(outs2[2:])),
-        lambda it: tw1(outs2[1], jnp.int32(it)))
-    res["carries"] = chain(
-        "carries",
-        lambda it: rb.stages["carries"](
-            outs2[1], tuple(tw2(s, jnp.int32(it)) for s in scan_k)),
-        lambda it: tw2(scan_k[0], jnp.int32(it)))
-    res["tails"] = chain(
-        "tails",
-        lambda it: rb.stages["tails"](
-            outs[0], outs2[1],
-            tuple(tw2(s, jnp.int32(it)) for s in scan_k), C),
-        lambda it: tw2(scan_k[0], jnp.int32(it)))
-    res["fold"] = chain(
-        "fold",
-        lambda it: rb.stages["fold"](
-            bacc, tuple(tw2(b, jnp.int32(it)) for b in bj)),
-        lambda it: tw2(bj[0], jnp.int32(it)))
-    per_round = sum(v for k, v in res.items() if k != "prep")
-    print(f"  per-round (6 stages): {per_round*1e3:.2f} ms "
-          f"-> 2^20 rounds total ~{per_round*64*1e3:.0f} ms + prep "
-          f"{res['prep']*8*1e3:.0f} ms")
+    results = {}
+    rng = np.random.default_rng(3)
+    for log2n in sizes:
+        n = 1 << log2n
+        dom = EvaluationDomain(n)
+        vals = rng.integers(1, 1 << 62, size=n)
+        a = limb.to_mont(jnp.asarray(ints_to_limbs(
+            [int(v) % FR_MOD for v in vals])), FR)
+        for name, fn in (
+            ("fft", lambda v, d=dom: fftmod.fft(v, d)),
+            ("ifft", lambda v, d=dom: fftmod.ifft(v, d)),
+            ("coset_fft", lambda v, d=dom: fftmod.coset_fft(v, d)),
+        ):
+            g = jax.jit(fn)
+            r = g(a)
+            jax.block_until_ready(r)
+            iters = 4
+            t0 = time.perf_counter()
+            v = a
+            for it in range(iters):
+                # dependency-chain: next input derives from the previous
+                # OUTPUT (reduced mod 2^16 per limb keeps planes valid)
+                v = r & jnp.uint32(0xFFFF)
+                r = g(v)
+            jax.block_until_ready(r)
+            dt = (time.perf_counter() - t0) / iters
+            results[f"{name}_2pow{log2n}_ms"] = round(dt * 1e3, 2)
+            # bytes: log2(n) stages x read+write of the (16, n) u32 array
+            gbs = 2 * 16 * 4 * n * log2n / dt / 1e9
+            print(f"{name:10s} n=2^{log2n}: {dt*1e3:8.2f} ms  "
+                  f"(~{gbs:.0f} GB/s streamed)", flush=True)
+    print(json.dumps(results))
     return 0
 
 
@@ -536,13 +445,175 @@ def cmd_dep_test(argv):
     return 0
 
 
+def cmd_tails_test(argv):
+    """tails-stage subcomponents at production shapes."""
+    iters = int(argv[0]) if argv else 12
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(5)
+    R, n, nb = 8, 1 << 18, 1 << 16
+    N = 1 << 21
+    Bp = 1 << 15
+    sdR = jnp.asarray(np.sort(rng.integers(0, nb, size=(R, n),
+                                           dtype=np.uint32), axis=1))
+    SV3 = tuple(jnp.asarray(rng.integers(0, 1 << 16, size=(16, N),
+                                         dtype=np.uint32))
+                for _ in range(3))
+    frk = jnp.asarray(rng.integers(0, 2, size=(N,), dtype=np.uint32))
+    CV = jnp.asarray(rng.integers(0, 1 << 16, size=(48, Bp),
+                                  dtype=np.uint32))
+    lane = jnp.asarray(rng.integers(0, Bp, size=(R * nb,), dtype=np.int32))
+
+    @jax.jit
+    def tw(a, s):
+        return a.at[..., 0].set(a[..., 0] ^ (s + jnp.uint32(1)))
+
+    def chain(name, fn):
+        s = jnp.uint32(1)
+        r = fn(s)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for it in range(iters):
+            r = fn(s)
+            s = (jnp.ravel(r[0] if isinstance(r, tuple) else r)[0]
+                 & jnp.uint32(0xFF)) + jnp.uint32(it)
+        jax.block_until_ready(r)
+        print(f"  {name:30s} {(time.perf_counter()-t0)/iters*1e3:8.2f} ms",
+              flush=True)
+
+    q = jnp.arange(nb + 1).astype(jnp.uint32)
+    f_ss = jax.jit(lambda sd: jax.vmap(
+        lambda s: jnp.searchsorted(s, q))(sd))
+    chain("vmap searchsorted scan", lambda s: f_ss(tw(sdR, s)))
+
+    f_ss2 = jax.jit(lambda sd: jax.vmap(
+        lambda s: jnp.searchsorted(s, q, method='sort'))(sd))
+    chain("vmap searchsorted sort", lambda s: f_ss2(tw(sdR, s)))
+
+    f_cat = jax.jit(lambda a, b, c, f: jnp.concatenate(
+        [a, b, c, f[None]], axis=0).T)
+    chain("SV concat + .T (49,2^21)", lambda s: f_cat(
+        tw(SV3[0], s), SV3[1], SV3[2], frk))
+
+    f_cv = jax.jit(lambda cv, ix: jnp.take(cv.T, ix, axis=0).T)
+    chain("CV row take 524k of 32k", lambda s: f_cv(tw(CV, s), lane))
+    return 0
+
+
+def cmd_gather2_test(argv):
+    """Rake point-gather and carry-gather orientations at EXACT
+    production shapes (M=2^21 rows of a (16, 2^18) table; M=2^19 rows of
+    a (48, 2^15) table)."""
+    iters = int(argv[0]) if argv else 10
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(5)
+
+    @jax.jit
+    def tw(a, s):
+        return a.at[..., 0].set(a[..., 0] ^ (s + jnp.uint32(1)))
+
+    def chain(name, fn):
+        s = jnp.uint32(1)
+        r = fn(s)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for it in range(iters):
+            r = fn(s)
+            s = (jnp.ravel(r)[0] & jnp.uint32(0xFF)) + jnp.uint32(it)
+        jax.block_until_ready(r)
+        print(f"  {name:34s} {(time.perf_counter()-t0)/iters*1e3:8.2f} ms",
+              flush=True)
+
+    for (C, N, M, label) in ((16, 1 << 18, 1 << 21, "rake"),
+                             (48, 1 << 15, 1 << 19, "carry")):
+        T = jnp.asarray(rng.integers(0, 1 << 16, size=(C, N),
+                                     dtype=np.uint32))
+        TM = jnp.asarray(np.ascontiguousarray(np.asarray(T).T))  # (N, C)
+        col = jnp.asarray(rng.integers(0, N, size=(M,), dtype=np.int32))
+
+        f1 = jax.jit(lambda t, ix: jnp.take(t.T, ix, axis=0).T)
+        chain(f"{label}: take(T.T,ix).T fused", lambda s: f1(tw(T, s), col))
+        f2 = jax.jit(lambda tm, ix: jnp.take(tm, ix, axis=0).T)
+        chain(f"{label}: take(TM,ix).T premat", lambda s: f2(tw(TM, s), col))
+        f3 = jax.jit(lambda t, ix: jnp.take(t, ix, axis=1))
+        chain(f"{label}: minor take", lambda s: f3(tw(T, s), col))
+        f4 = jax.jit(lambda t, ix: jnp.take(
+            lax.optimization_barrier(t.T), ix, axis=0).T)
+        chain(f"{label}: take(bar(T.T),ix).T", lambda s: f4(tw(T, s), col))
+    return 0
+
+
+def cmd_gather_test(argv):
+    """Tail-gather strategies at the production tails shapes: which
+    lowering actually runs at bandwidth on this backend."""
+    iters = int(argv[0]) if argv else 12
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(5)
+    for N in (1 << 21, 1 << 18):
+        C = 49
+        M = 1 << 19          # gathered rows (R * nbuckets)
+        SV = jnp.asarray(rng.integers(0, 1 << 16, size=(C, N),
+                                      dtype=np.uint32))
+        col = jnp.asarray(rng.integers(0, N, size=(M,), dtype=np.int32))
+
+        @jax.jit
+        def tw(a, s):
+            return a.at[0].set(a[0] ^ (s + jnp.uint32(1)))
+
+        def chain(name, fn):
+            s = jnp.uint32(1)
+            jax.block_until_ready(fn(s))
+            t0 = time.perf_counter()
+            r = None
+            for it in range(iters):
+                r = fn(s)
+                s = (r[0].reshape(-1)[0] & jnp.uint32(0xFF)) + jnp.uint32(it)
+            jax.block_until_ready(r)
+            dt = (time.perf_counter() - t0) / iters
+            print(f"  N=2^{int(np.log2(N))} {name:26s} {dt*1e3:8.2f} ms",
+                  flush=True)
+
+        f_minor = jax.jit(lambda sv, ix: jnp.take(sv, ix, axis=1))
+        chain("minor-axis take (49 rows)", lambda s: f_minor(tw(SV, s), col))
+
+        f_rows = jax.jit(lambda sv, ix: jnp.take(sv.T, ix, axis=0).T)
+        chain("take(SV.T).T fused", lambda s: f_rows(tw(SV, s), col))
+
+        def rows_bar(sv, ix):
+            svt = lax.optimization_barrier(sv.T)
+            return jnp.take(svt, ix, axis=0).T
+
+        f_bar = jax.jit(rows_bar)
+        chain("take(barrier(SV.T)).T", lambda s: f_bar(tw(SV, s), col))
+
+        def rows_nob(sv, ix):
+            svt = lax.optimization_barrier(sv.T)
+            return jnp.take(svt, ix, axis=0)      # stay row-major out
+        f_nob = jax.jit(rows_nob)
+        chain("take(barrier(SV.T)) rowout", lambda s: f_nob(tw(SV, s), col))
+    return 0
+
+
 CMDS = {
     "chunked-profile": cmd_chunked_profile,
     "dispatch": cmd_dispatch,
-    "stage-chain": cmd_stage_chain,
     "micro": cmd_micro,
     "batch-test": cmd_batch_test,
     "dep-test": cmd_dep_test,
+    "gather-test": cmd_gather_test,
+    "gather2-test": cmd_gather2_test,
+    "tails-test": cmd_tails_test,
     "fft": cmd_fft,
 }
 

@@ -99,15 +99,19 @@ def main(argv):
                           for _ in range(n)])
     scalars = jnp.asarray(scal)
 
-    cfg = MSMConfig(c=16, glv=True)  # the realistic 2^20 config
+    # Measure the PRODUCTION chunked drivers on both sides — the r4
+    # probe measured the monolithic engine the production path no longer
+    # uses (VERDICT r4 weak #2).  Solo calls msm_chunked directly (the
+    # msm() wrapper only auto-routes there on TPU backends).
+    from aztec_tpu.msm.chunked import msm_chunked
 
-    t_solo, r_solo = timed(lambda: msm((X, Y), scalars, BN254_G1, cfg))
+    t_solo, r_solo = timed(lambda: msm_chunked((X, Y), scalars, BN254_G1))
     print(f"solo msm 2^{log2n}: {t_solo:.2f}s", flush=True)
     report["msm_solo_s"] = round(t_solo, 3)
 
     mesh = Mesh(np.array(devs), ("shard",))
     t_mesh, r_mesh = timed(
-        lambda: sharded_msm(mesh, "shard", (X, Y), scalars, BN254_G1, cfg))
+        lambda: sharded_msm(mesh, "shard", (X, Y), scalars, BN254_G1))
     print(f"mesh msm 2^{log2n}: {t_mesh:.2f}s", flush=True)
     report["msm_mesh_s"] = round(t_mesh, 3)
     assert jacobian_to_host(r_solo, BN254_G1) == \
