@@ -322,3 +322,32 @@ def jit_add_mod(a, b, spec):
 @functools.partial(jax.jit, static_argnames=("spec",))
 def jit_sub_mod(a, b, spec):
     return sub_mod(a, b, spec)
+
+
+# -- eager-call consolidation (round 5) ------------------------------------
+# Rebind the public elementwise entry points to jitted versions: an EAGER
+# limb op expands through canon's Kogge-Stone carry scan into ~30 tiny
+# primitive compiles PER NEW SHAPE (measured: 2500+ sub-second compiles
+# during one cold 2^17 prove, ~0.45 s each over the tunneled backend, and
+# sub-threshold for the old persistent-cache cutoff).  One jitted
+# executable per (op, shape) replaces them and persists in the cache.
+# Internal/jitted callers are unaffected (nested jit is inlined).
+
+_raw_cond_sub_p = cond_sub_p
+cond_sub_p = jax.jit(_raw_cond_sub_p, static_argnums=(1,))
+_raw_add_mod = add_mod
+add_mod = jax.jit(_raw_add_mod, static_argnums=(2,))
+_raw_sub_mod = sub_mod
+sub_mod = jax.jit(_raw_sub_mod, static_argnums=(2,))
+_raw_neg_mod = neg_mod
+neg_mod = jax.jit(_raw_neg_mod, static_argnums=(1,))
+_raw_mont_mul = mont_mul
+mont_mul = jax.jit(_raw_mont_mul, static_argnums=(2,))
+_raw_mont_sqr = mont_sqr
+mont_sqr = jax.jit(_raw_mont_sqr, static_argnums=(1,))
+_raw_to_mont = to_mont
+to_mont = jax.jit(_raw_to_mont, static_argnums=(1,))
+_raw_from_mont = from_mont
+from_mont = jax.jit(_raw_from_mont, static_argnums=(1,))
+_raw_batch_inv_mont = batch_inv_mont
+batch_inv_mont = jax.jit(_raw_batch_inv_mont, static_argnums=(1, 2))

@@ -328,6 +328,27 @@ def mont_mul(a, b, spec: FieldSpec):
     return _mont_mul_op(spec)(a, b)
 
 
+def _butterfly_formula(kf: KF, elems):
+    top, bot, tw = elems
+    t = kf.mul(bot, tw)
+    return [kf.add(top, t), kf.sub(top, t)]
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_op(spec: FieldSpec):
+    return elementwise_op(spec, 3, 2, _butterfly_formula, "butterfly")
+
+
+def butterfly(top, bot, tw, spec: FieldSpec):
+    """Fused FFT butterfly: (top + tw*bot, top - tw*bot), one kernel.
+
+    The jnp limb path pays a full HBM round trip of the (16, 16, batch)
+    outer product per mont_mul (~268 ns/elem measured r3); this keeps the
+    whole stage in VMEM at ~0.4 ns/elem — the difference between a 5.1 s
+    and a ~40 ms 2^20 FFT (chip_probe fft, r5)."""
+    return _butterfly_op(spec)(top, bot, tw)
+
+
 def use_pallas(batch_elems: int | None = None) -> bool:
     """Dispatch policy: fused kernels on TPU (or interpret mode if forced)."""
     import os

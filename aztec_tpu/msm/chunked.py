@@ -1,41 +1,44 @@
-"""Chunked fixed-geometry Pippenger MSM: one compile serves every size.
+"""Chunked fixed-geometry Pippenger MSM, round-batched per chunk.
 
-Why (round-4 root cause): the MSM's per-size warmup cost is dominated by
-Python TRACING of the fused Pallas kernels — not backend compilation, so
-the persistent compile cache cannot hide it.  Measured on this host:
-82 s to trace+lower the rake kernel alone; the fused bucket-phase kernel
-(msm/bucket_pallas.py, ~56 unrolled group-formula bodies) is several
-minutes.  Round 3's bench burned its whole budget re-tracing a fresh
-geometry per size and never reached 2^20.
+Design constraints, both MEASURED on the tunneled v5e backend:
 
-Fix, in three moves:
+- per-size warmup is dominated by Python TRACING of the fused Pallas
+  kernels (~80 s for the rake alone; the persistent compile cache cannot
+  hide trace cost), so geometry must be FIXED: points are processed in
+  right-sized chunks (2^14..2^17; a 2^20 MSM is 8 chunks of 2^17) and
+  every executable is traced once per geometry per process;
+- independent dispatch roots cost 10-35 ms while dependency-chained
+  dispatches cost ~0.16 ms (tools/chip_probe.py dep-test, r5), so a
+  chunk is FIVE chained dispatches with all GLV rounds batched inside
+  each stage, not rounds x stages separate calls.
 
-1. **One geometry.**  Points are processed in fixed-size chunks
-   (default 2^17 points -> 2^18 table entries after GLV).  An MSM of any
-   size is a sum of per-chunk partial MSMs (MSM is linear in the point
-   set), so the round kernel is traced and compiled exactly once and
-   reused by 2^14 and 2^20 alike.  This is also the natural multi-chip
-   unit: chunks are the reference's per-thread scalar slices
-   (scalar_multiplication.cpp:720-835) mapped to whole devices.
+Per-chunk pipeline (each stage a jit, all rounds R=8 batched):
 
-2. **Buckets accumulate across chunks.**  Each (round, chunk) produces
-   2^c Jacobian bucket tails (pippenger._packed_round_buckets); they are
-   converted to complete projective form and folded into per-round
-   running bucket planes with one width-2^c complete add (~65 us fused).
-   The expensive bucket phase then runs ONCE per MSM, batched over all
-   rounds.
+  prep    GLV split + endo table + limb-pair packing -> (16, n_eff)
+  sort1   ONE batched bitonic sort of (digit, source-index) pairs for
+          all R rounds (payload = 4 bytes, not the 64-byte point rows —
+          lax.sort is O(log^2 n) passes over every payload byte)
+  rake    K-major index transpose + ONE point-row gather + the fused
+          rake kernel over a combined R*B lane axis (lanes independent;
+          round boundaries = lane boundaries)
+  carries Hillis-Steele segmented scan of block tails (continuation
+          masked at round edges)
+  tails   bucket edges from a two-level one-hot bf16 MXU histogram +
+          cumsum (no searchsorted: its scan lowering costs ~30 ns/probe);
+          fused row gathers of scan tails + carries; arithmetic
+          first-run flags -> Jacobian bucket planes (16, R, 2^c)
+  fold    one complete add into the running (16, R, 2^c) planes
 
-3. **Bucket phase = round-batched XLA composition over small fused
-   kernels.**  The suffix-sum identity W = sum_{j>=1} S_j runs as
-   lax.scan / Hillis-Steele scans whose bodies are the cached fused
-   proj_add Pallas op — loop-rolled, so the trace cost is ONE add body —
-   over planes shaped (16, rounds, 2^c): all 8 rounds ride one pass.
-   The width-1 Horner fold acc = 2^c acc + W_r closes the MSM.
+Buckets accumulate across chunks (MSM is linear in the point set); the
+bucket phase then runs ONCE per MSM, round-batched (_finish), ending in
+the width-1 Horner fold acc = 2^c acc + W_r.
 
-Everything is bit-identical to msm_engine's packed path (same kernels,
-same formulas, different staging).
+Everything is bit-identical to the engine's packed path (same kernels,
+same formulas, different staging); bench.py golden-checks every size.
 
-Reference bar: scalar_multiplication.cpp:145-167 (2^20 MSM ~ 2^24 adds).
+Reference bar: scalar_multiplication.cpp:145-167 (2^20 MSM ~ 2^24 adds);
+the sort1+gather staging is the reference's point_schedule idea
+(scalar_multiplication.cpp:198-260) restaged for TPU.
 """
 
 from __future__ import annotations

@@ -345,8 +345,13 @@ class Prover:
         self._commit(w_zeta_omega, "PI_Z_OMEGA")
 
     def construct_proof(self) -> bytes:
+        import os
+        import sys
+        import time
+
         from ..utils.cpu_warm import prewarm_prover
 
+        log = os.environ.get("AZTEC_PROVER_LOG")
         prewarm_prover(self)  # no-op outside the XLA:CPU test environment
         for rnd in (
             self.execute_preamble_round,
@@ -357,8 +362,13 @@ class Prover:
             self.execute_fifth_round,
             self.execute_sixth_round,
         ):
+            t0 = time.perf_counter()
             rnd()
             # drain the work queue at the Fiat-Shamir barrier; an external
             # executor (self.executor) may service FFT/MSM items here
             self.queue.process_queue(self.executor)
+            if log:
+                print(f"# prover {rnd.__name__}: "
+                      f"{time.perf_counter() - t0:.2f}s",
+                      file=sys.stderr, flush=True)
         return self.transcript.export_transcript()

@@ -100,7 +100,10 @@ class EvaluationDomain:
         if t is None:
             base = jnp.asarray(int_to_limbs((base_int * FR.R) % FR_MOD))
             t = powers_table(base, count, FR)
-            self._tables[key] = t
+            # never cache a value produced under an outer trace: the
+            # tracer would leak into later calls (UnexpectedTracerError)
+            if not isinstance(t, jax.core.Tracer):
+                self._tables[key] = t
         return t
 
     @property
@@ -117,7 +120,8 @@ class EvaluationDomain:
         t = self._tables.get("bitrev")
         if t is None:
             t = jnp.asarray(_bit_reverse_indices(self.size))
-            self._tables["bitrev"] = t
+            if not isinstance(t, jax.core.Tracer):
+                self._tables["bitrev"] = t
         return t
 
     def coset_powers(self, g_int: int | None = None, count: int | None = None):

@@ -70,6 +70,9 @@ class FakeReferenceStringFactory:
                 limb.to_mont(jnp.asarray(ys), fq),
                 n,
             )
+        cached = self._from_point_cache(n)
+        if cached is not None:
+            return cached
         taus = [1]
         for _ in range(n - 1):
             taus.append(taus[-1] * self.tau % FR_MOD)
@@ -78,6 +81,26 @@ class FakeReferenceStringFactory:
         x, y, inf = group.to_affine(P, BN254_G1.field)
         assert not bool(np.any(np.asarray(inf)))
         return ProverReferenceString(x, y, n)
+
+    def _from_point_cache(self, n: int):
+        """Slice the committed bench table (tau^i * G, same dev tau,
+        Montgomery uint16 planes) instead of re-deriving up to 2^20
+        fixed-base muls on device — the single biggest prover startup
+        cost at realistic sizes."""
+        import os
+
+        if self.tau != 0xB0B0CAFE12345678DEADBEEF:
+            return None
+        f = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".bench_cache", "points_2pow20.npz")
+        if n > (1 << 20) or not os.path.exists(f):
+            return None
+        d = np.load(f)
+        return ProverReferenceString(
+            jnp.asarray(d["X"][:, :n].astype(np.uint32)),
+            jnp.asarray(d["Y"][:, :n].astype(np.uint32)), n)
 
     def get_verifier_srs(self) -> VerifierReferenceString:
         return VerifierReferenceString(tower.g2_mul(self.tau, tower.G2_GEN))

@@ -77,7 +77,10 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
     path = os.path.join(base, f"{_machine_tag()}-{backend_tag}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache EVERYTHING: the prover issues hundreds of ~0.45 s eager mini
+    # compiles (measured r5: 677 before the first round at 2^17) that a
+    # 0.5 s threshold silently repays every process
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from jax._src import compilation_cache as cc
 

@@ -90,12 +90,29 @@ def supervise():
                 log2n, pps = best
                 tag = ("" if platform["v"] in ("", "tpu")
                        else f"{platform['v']}_fallback_")
-                print(json.dumps({
+                rec = {
                     "metric": f"msm_bn254_{tag}2pow{log2n}_points_per_s",
                     "value": round(pps, 1),
                     "unit": "points/s",
                     "vs_baseline": round(pps / BASELINE_POINTS_PER_S, 4),
-                }), flush=True)
+                }
+                # auxiliary committed measurements (same line, extra keys):
+                # latest TPU prover wall-clocks so the driver's record
+                # carries the full-prover number every round (VERDICT r4
+                # next-step #2)
+                try:
+                    pb = os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)), "PROVER_BENCH.json")
+                    with open(pb) as f:
+                        for r in json.load(f):
+                            if r.get("backend") == "tpu" and r.get(
+                                    "verified"):
+                                k = (f"prover_2pow{r['log2_gates']}_"
+                                     f"{r['flavor']}_warm_s")
+                                rec[k] = r["warm_prove_s"]
+                except Exception:
+                    pass
+                print(json.dumps(rec), flush=True)
         try:
             proc.kill()
         except Exception:

@@ -172,7 +172,7 @@ def cmd_fft(argv):
     sizes = [int(a) for a in argv] or [20, 22]
     import jax
     import jax.numpy as jnp
-    from aztec_tpu.poly import fft as fftmod
+    from aztec_tpu.poly import fft_ops as fftmod
     from aztec_tpu.poly.domain import EvaluationDomain
     from aztec_tpu.ff import FR, limb
     from aztec_tpu.ff.bn254 import FR_MOD
@@ -184,15 +184,35 @@ def cmd_fft(argv):
     for log2n in sizes:
         n = 1 << log2n
         dom = EvaluationDomain(n)
+        # build the root/coset tables EAGERLY (outside any jit trace)
+        jax.block_until_ready((dom.forward_roots, dom.inverse_roots,
+                               dom.coset_powers(),
+                               dom.coset_inverse_powers()))
         vals = rng.integers(1, 1 << 62, size=n)
-        a = limb.to_mont(jnp.asarray(ints_to_limbs(
-            [int(v) % FR_MOD for v in vals])), FR)
-        for name, fn in (
+        raw = jnp.asarray(ints_to_limbs([int(v) % FR_MOD for v in vals]))
+        # to_mont via the fused kernel: the eager limb path materializes
+        # the (L, L, n) outer product (4+ GB at 2^22 -> OOM)
+        from aztec_tpu.poly.fft import _mul as fmul
+        r2 = jnp.broadcast_to(
+            jnp.asarray(np.array(FR.r2_limbs, np.uint32))[:, None], (16, n))
+        a = fmul(raw, r2)
+
+        # correctness gate: ifft(fft(a)) == a and coset roundtrip
+        rt = fftmod.ifft(fftmod.fft(a, dom), dom)
+        assert np.array_equal(np.asarray(rt), np.asarray(a)), \
+            f"fft/ifft roundtrip FAILED at 2^{log2n}"
+        crt = fftmod.coset_ifft(fftmod.coset_fft(a, dom), dom)
+        assert np.array_equal(np.asarray(crt), np.asarray(a)), \
+            f"coset roundtrip FAILED at 2^{log2n}"
+        print(f"2^{log2n} fft/ifft + coset roundtrips OK", flush=True)
+        # no outer jit: the inner stages are jitted with the root tables
+        # as ARGUMENTS; an outer jit would capture the 268 MB coset table
+        # as a graph constant and blow the tunnel's compile-RPC limit
+        for name, g in (
             ("fft", lambda v, d=dom: fftmod.fft(v, d)),
             ("ifft", lambda v, d=dom: fftmod.ifft(v, d)),
             ("coset_fft", lambda v, d=dom: fftmod.coset_fft(v, d)),
         ):
-            g = jax.jit(fn)
             r = g(a)
             jax.block_until_ready(r)
             iters = 4

@@ -42,7 +42,7 @@ def build(kind: str, ngates: int, seed: int):
     # proofs share witness polynomials
     r = 21888242871839275222246405745257275088548364400416034343698204186575808495617
     va = seed + 3
-    while c.num_gates < ngates:
+    while c.n < ngates:
         m = rng.randrange(1, 1 << 30)
         vb = m
         vc = va * vb % r
@@ -67,7 +67,7 @@ def main():
     c1 = build(kind, ngates, seed=101)
     t_build = time.time() - t0
     print(f"circuit built in {t_build:.0f}s "
-          f"({c1.num_gates} gates)", flush=True)
+          f"({c1.n} gates)", flush=True)
 
     t0 = time.time()
     p1 = c1.create_prover()
