@@ -185,9 +185,10 @@ def _rake_scan_packed_xla(ops, dig_k, packed_k, B: int, K: int):
         return (newP, dkr), newP
 
     (_, _), stacked = lax.scan(step, (inf, sentinel), (dk, Xk, Yk))
-    # stacked: 3 coords of (K, 16, B) -> (16, K*B) K-major
+    # stacked: 3 coords of (K, 16, B) -> (16, K*B/128, 128) K-major,
+    # matching the fused kernel's output shape exactly
     return tuple(
-        jnp.moveaxis(s, 0, 1).reshape(16, n) for s in stacked
+        jnp.moveaxis(s, 0, 1).reshape(16, n // 128, 128) for s in stacked
     )
 
 

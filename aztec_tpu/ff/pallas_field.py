@@ -328,6 +328,49 @@ def mont_mul(a, b, spec: FieldSpec):
     return _mont_mul_op(spec)(a, b)
 
 
+def _add_mod_formula(kf: KF, elems):
+    return [kf.add(elems[0], elems[1])]
+
+
+def _sub_mod_formula(kf: KF, elems):
+    return [kf.sub(elems[0], elems[1])]
+
+
+@functools.lru_cache(maxsize=None)
+def _add_mod_op(spec: FieldSpec):
+    return elementwise_op(spec, 2, 1, _add_mod_formula, "add_mod")
+
+
+@functools.lru_cache(maxsize=None)
+def _sub_mod_op(spec: FieldSpec):
+    return elementwise_op(spec, 2, 1, _sub_mod_formula, "sub_mod")
+
+
+def add_mod(a, b, spec: FieldSpec):
+    """Fused-Pallas modular add; bit-compatible with limb.add_mod."""
+    return _add_mod_op(spec)(a, b)
+
+
+def sub_mod(a, b, spec: FieldSpec):
+    """Fused-Pallas modular sub; bit-compatible with limb.sub_mod."""
+    return _sub_mod_op(spec)(a, b)
+
+
+def _mul_add_formula(kf: KF, elems):
+    a, b, c = elems
+    return [kf.add(kf.mul(a, b), c)]
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_add_op(spec: FieldSpec):
+    return elementwise_op(spec, 3, 1, _mul_add_formula, "mul_add")
+
+
+def mul_add(a, b, c, spec: FieldSpec):
+    """Fused a*b + c (one kernel, one HBM round trip)."""
+    return _mul_add_op(spec)(a, b, c)
+
+
 def _butterfly_formula(kf: KF, elems):
     top, bot, tw = elems
     t = kf.mul(bot, tw)

@@ -33,6 +33,7 @@ import numpy as np
 from jax import lax
 
 from ..ff import FR, limb
+from ..ff import pallas_field as pf
 from ..ff.bn254 import FR_MOD, FR_COSET_GENERATORS
 from ..numeric.bigint import int_to_limbs
 from ..poly.domain import powers_table
@@ -45,15 +46,27 @@ def _c(v: int, ndim: int = 2):
     )
 
 
+# On TPU these route to the fused Pallas field kernels: the jnp limb
+# mont_mul materializes a (16, 16, batch) outer product per call — at the
+# quotient's 4n = 2^19 width that is a 512 MB HLO temp PER MULTIPLY (the
+# turbo quotient OOM'd HBM, r5) and ~268 ns/elem of HBM traffic.  The
+# fused kernels keep each op at one (16, n) round trip.
+
 def _mul(a, b):
+    if pf.use_pallas():
+        return pf.mont_mul(a, b, FR)
     return limb.mont_mul(a, b, FR)
 
 
 def _add(a, b):
+    if pf.use_pallas():
+        return pf.add_mod(a, b, FR)
     return limb.add_mod(a, b, FR)
 
 
 def _sub(a, b):
+    if pf.use_pallas():
+        return pf.sub_mod(a, b, FR)
     return limb.sub_mod(a, b, FR)
 
 

@@ -104,8 +104,21 @@ class Prover:
         return self.key.selectors[label].monomial
 
     def _eval_many(self, stack, zpows):
-        y = limb.mont_mul(stack, zpows[:, None, :], FR)
-        out = _tree_sum(y, stack.shape[-1])
+        from ..ff import pallas_field as pf
+
+        # one poly at a time: a batched (L, k, n) multiply materializes
+        # k*n-wide operands/temps (~GBs for ultra's opening set at 2^17)
+        # on top of an already-full HBM; k sequential (L, n) fused muls
+        # cost ~0.4 ms each and keep peak memory flat
+        use_pf = pf.use_pallas()
+        cols = []
+        for i in range(stack.shape[1]):
+            if use_pf:
+                y = pf.mont_mul(stack[:, i], zpows, FR)
+            else:
+                y = limb.mont_mul(stack[:, i], zpows, FR)
+            cols.append(_tree_sum(y, stack.shape[-1]))
+        out = jnp.stack(cols, axis=-1)
         return limbs_to_ints(np.asarray(limb.from_mont(out, FR)))
 
     # -- rounds ------------------------------------------------------------------
@@ -209,6 +222,10 @@ class Prover:
         last = self.width - 1
         extra = 1 if self.width == 3 else 0  # standard t_high has n+1 coeffs
         self._commit(tq[:, last * n : (last + 1) * n + extra], f"T_{self.width}")
+        # the 4n coset evaluations are dead after the quotient: rounds
+        # 5/6 work on monomials.  Freeing them (~34 MB x width+lookup
+        # polys) keeps the ultra flavor inside HBM at 2^17 (OOM, r5).
+        self.wire_fft.clear()
 
     def execute_fifth_round(self):
         """ref: prover.cpp:365-378, 388-417 — evaluations + linearisation.

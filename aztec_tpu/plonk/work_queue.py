@@ -162,10 +162,23 @@ class WorkQueue:
         """Drain every item (ref: work_queue.hpp:208-280).  ``executor``
         overrides how each work type is serviced; unhandled types fall
         back to the local device kernels."""
+        import os
+
+        log = os.environ.get("AZTEC_PROVER_LOG")
         for it in self.items:
+            if log:
+                import sys
+                import time
+
+                t0 = time.perf_counter()
             if executor is not None and executor.handle(self.key, it):
-                continue
-            _local_execute(self.key, it)
+                pass
+            else:
+                _local_execute(self.key, it)
+            if log:
+                print(f"#   queue {it.work_type.name} {it.tag}: "
+                      f"{time.perf_counter() - t0:.2f}s",
+                      file=sys.stderr, flush=True)
         self.flush_queue()
 
 

@@ -26,9 +26,19 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ff import FR, limb
+from ..ff import pallas_field as pf
 from ..ff.bn254 import FR_MOD
 from ..numeric.bigint import int_to_limbs
 from .domain import powers_table
+
+
+def _mul(a, b):
+    """Montgomery multiply routed to the fused Pallas kernel on TPU —
+    the jnp limb path materializes a (16, 16, batch) outer product that
+    reaches GBs at the prover's (k, n) eval stacks (ultra OOM, r5)."""
+    if pf.use_pallas():
+        return pf.mont_mul(a, b, FR)
+    return limb.mont_mul(a, b, FR)
 
 
 def fr_mont_plane(v: int) -> jnp.ndarray:
@@ -59,7 +69,7 @@ def poly_eval(coeffs, z_int: int):
     """
     n = coeffs.shape[-1]
     zp = powers_table(fr_mont_plane(z_int), n, FR)
-    y = limb.mont_mul(coeffs, zp, FR)
+    y = _mul(coeffs, zp)
     out = _tree_sum(y, n)
     from ..numeric.bigint import limbs_to_int
     import numpy as np
@@ -75,7 +85,7 @@ def poly_eval_many(stack, z_int: int):
     """
     n = stack.shape[-1]
     zp = powers_table(fr_mont_plane(z_int), n, FR)
-    y = limb.mont_mul(stack, zp[:, None, :], FR)
+    y = _mul(stack, zp[:, None, :])
     out = _tree_sum(y, n)  # (L, k)
     from ..numeric.bigint import limbs_to_ints
     import numpy as np
@@ -86,11 +96,11 @@ def poly_eval_many(stack, z_int: int):
 @functools.partial(jax.jit, static_argnames=("n",))
 def _kate_divide_jit(src, zpow, zinv_pow, n: int):
     # dest[i] = -z^{-(i+1)} * prefix_{j<=i}(src[j] * z^j)
-    scaled = limb.mont_mul(src, zpow, FR)
+    scaled = _mul(src, zpow)
     prefix = lax.associative_scan(
         lambda a, b: limb.add_mod(a, b, FR), scaled, axis=1
     )
-    out = limb.mont_mul(prefix, zinv_pow, FR)
+    out = _mul(prefix, zinv_pow)
     return limb.neg_mod(out, FR)
 
 
@@ -109,7 +119,7 @@ def kate_divide(src, z_int: int):
     zp = powers_table(fr_mont_plane(z), n, FR)
     # z^{-(i+1)} = zinv * zinv^i
     zip_ = powers_table(fr_mont_plane(zinv), n, FR)
-    zip_ = limb.mont_mul(zip_, fr_mont_plane(zinv)[:, None], FR)
+    zip_ = _mul(zip_, fr_mont_plane(zinv)[:, None])
     return _kate_divide_jit(src, zp, zip_, n)
 
 

@@ -32,7 +32,10 @@ def build(kind: str, ngates: int, seed: int):
     cls = {"standard": StandardComposer, "turbo": TurboComposer,
            "ultra": UltraComposer}[kind]
     c = cls()
-    c.create_dummy_gates()
+    if hasattr(c, "create_dummy_gates"):
+        c.create_dummy_gates()
+    else:
+        c.create_dummy_gate()
     pub = c.add_public_variable(seed + 1)
     a = c.add_variable(seed + 3)
     import random
@@ -79,16 +82,29 @@ def main():
     print(f"verify: {ok}", flush=True)
     assert ok
 
+    # release the first prover's device arrays (proving key + polys):
+    # two resident ultra keys at 2^17 exceed HBM (warm-pass OOM, r5)
+    import gc
+
+    del p1, c1, proof1
+    gc.collect()
+
     t0 = time.time()
     c2 = build(kind, ngates, seed=202)
     print(f"second circuit built in {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
     p2 = c2.create_prover()
+    t_key = time.time() - t0
+    t0 = time.time()
     proof2 = p2.construct_proof()
-    t_warm = time.time() - t0
+    t_proof = time.time() - t0
+    t_warm = t_key + t_proof
     n = 1 << log2n
     print(f"WARM prove wall-clock: {t_warm:.2f}s  "
-          f"({n/t_warm:.3e} gates/s)", flush=True)
+          f"(key {t_key:.2f}s + construct_proof {t_proof:.2f}s; "
+          f"{n/t_proof:.3e} gates/s on construct_proof — the quantity "
+          f"plonk_bench/plonk.bench.cpp:11-105 measures with a prebuilt "
+          f"key)", flush=True)
     ok2 = c2.create_verifier().verify_proof(proof2)
     print(f"verify2: {ok2}", flush=True)
     assert ok2
@@ -108,7 +124,9 @@ def main():
         "circuit_build_s": round(t_build, 1),
         "cold_prove_s": round(t_cold, 1),
         "warm_prove_s": round(t_warm, 2),
-        "gates_per_s": round(n / t_warm, 1),
+        "warm_key_s": round(t_key, 2),
+        "warm_construct_proof_s": round(t_proof, 2),
+        "gates_per_s": round(n / t_proof, 1),
         "verified": bool(ok and ok2),
         "date": time.strftime("%Y-%m-%d"),
     })
