@@ -60,7 +60,10 @@ RAKE_K = 64       # serial rake depth; B = n_eff / K
 # floor for right-sized chunks (VERDICT r4 weak #1: a 2^14 MSM must not
 # pay a full 2^17-point chunk — 8x padded work).  Each distinct geometry
 # costs one extra lazy rake trace, paid only by processes that use it.
-SMALL_CHUNK_LOG2 = 14
+# 2^11 is the smallest chunk the packed geometry supports (K=4, B=1024)
+# — it exists for the CPU-mesh dryrun, where every padded point costs
+# real single-core field muls.
+SMALL_CHUNK_LOG2 = 11
 
 
 def geometry_for(n: int, use_glv: bool, c: int = 16):
@@ -220,10 +223,20 @@ def _stage_fns_batched(curve: CurveSpec, n: int, c: int, K: int, R: int):
 
     @jax.jit
     def tails(sdR, sdk, scan_k, C):
-        counts = _digit_counts(sdR)
-        edges = jnp.concatenate(
-            [jnp.zeros((R, 1), jnp.int32),
-             jnp.cumsum(counts, axis=1, dtype=jnp.int32)], axis=1)
+        from ..ff import pallas_field as _pf
+
+        if _pf.use_pallas():          # TPU: MXU histogram
+            counts = _digit_counts(sdR)
+            edges = jnp.concatenate(
+                [jnp.zeros((R, 1), jnp.int32),
+                 jnp.cumsum(counts, axis=1, dtype=jnp.int32)], axis=1)
+        else:
+            # CPU (mesh dryruns/tests): the bf16 one-hot dots blow up the
+            # XLA:CPU compiler (>49 GB compile RSS observed r5); binary
+            # search is cheap on CPU
+            q = jnp.arange(nbuckets + 1).astype(sdR.dtype)
+            edges = jax.vmap(
+                lambda s: jnp.searchsorted(s, q))(sdR).astype(jnp.int32)
         jidx = jnp.arange(nbuckets)[None]
         count_j = edges[:, 1:] - edges[:, :-1]
         valid = (count_j > 0) & (jidx > 0)                  # (R, nb)

@@ -175,18 +175,34 @@ def sharded_msm_chunked(mesh: Mesh, axis: str, points, scalars,
         for a in ops.c_infinity((rounds, nbuckets))
     )
 
+    import os
+
+    log = os.environ.get("AZTEC_DRYRUN_LOG")
+
+    def _trace(name, val):
+        if log:
+            import sys
+            import time
+
+            t0 = time.perf_counter()
+            jax.block_until_ready(val)
+            print(f"#   sharded {name}: {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        return val
+
     pt_shard = jax.sharding.NamedSharding(mesh, P(None, axis))
     for base in range(0, n, span):
         Xg = jax.device_put(X[:, base:base + span], pt_shard)
         Yg = jax.device_put(Y[:, base:base + span], pt_shard)
         Sg = jax.device_put(scalars[:, base:base + span], pt_shard)
-        packed16, sc = fns["prep"](Xg, Yg, Sg)
-        sdR, idxR = fns["sort1"](sc)
-        rk = fns["rake"](sdR, idxR, packed16)
+        packed16, sc = _trace("prep", fns["prep"](Xg, Yg, Sg))
+        sdR, idxR = _trace("sort1", fns["sort1"](sc))
+        rk = _trace("rake", fns["rake"](sdR, idxR, packed16))
         scan_k, sdk = rk[:3], rk[3]
-        C = fns["carries"](sdk, tuple(scan_k))
-        bj = fns["tails"](sdR, sdk, tuple(scan_k), tuple(C))
-        acc = fns["fold"](tuple(acc), tuple(bj))
+        C = _trace("carries", fns["carries"](sdk, tuple(scan_k)))
+        bj = _trace("tails", fns["tails"](sdR, sdk, tuple(scan_k),
+                                          tuple(C)))
+        acc = _trace("fold", fns["fold"](tuple(acc), tuple(bj)))
 
-    part = fns["finish"](*acc)
+    part = _trace("finish", fns["finish"](*acc))
     return fns["combine"](*part)

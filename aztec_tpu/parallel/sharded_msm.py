@@ -51,7 +51,7 @@ def sharded_msm(mesh: Mesh, axis: str, points, scalars, curve: CurveSpec,
     # for tiny shards and traced (in-jit) callers only.
     if (config is None
             and not isinstance(X, jax.core.Tracer)
-            and n // ndev >= 1 << 12):
+            and n // ndev >= 1 << 11):
         from ..msm import chunked
         from .sharded_chunked import sharded_msm_chunked
 

@@ -117,7 +117,10 @@ def setup_compile_cache(base: str = "/root/repo/.jax_cache",
                 try:
                     import signal
 
-                    signal.alarm(60)
+                    # big CPU modules serialize slowly; a short alarm was
+                    # silently dropping exactly the entries that cost the
+                    # most to recompile (r5: the 200 s mesh-stage modules)
+                    signal.alarm(600)
                     orig_put(cache_key, module_name, executable, backend,
                              compile_time)
                     code = 0
