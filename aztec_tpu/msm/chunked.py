@@ -121,6 +121,37 @@ def _prep_fn(curve: CurveSpec, use_glv: bool):
     return prep
 
 
+def _mapped_pairwise(f, A, B, pieces: int = 64):
+    """Apply the elementwise group op ``f(A, B)`` in ``pieces`` slices of
+    the last axis via ONE loop-rolled lax.map body.
+
+    Off-TPU only: XLA:CPU compile time/memory for a fused limb group
+    formula scales with the flattened width — a single add at
+    (16, 8, 65536) ran >90 min and 50 GB of compiler RSS (r5); a
+    width-8192 body compiles in minutes and the map replays it.  On TPU
+    the direct call is both correct and fastest."""
+    from ..ff import pallas_field as pf
+
+    if pf.use_pallas() or A[0].shape[-1] % pieces:
+        return f(A, B)
+
+    def sp(x):
+        x = jnp.broadcast_to(x, A[0].shape)
+        return jnp.moveaxis(
+            x.reshape(x.shape[:-1] + (pieces, x.shape[-1] // pieces)),
+            -2, 0)
+
+    SA = tuple(sp(x) for x in A)
+    SB = tuple(sp(x) for x in B)
+    out = lax.map(lambda ab: f(ab[0], ab[1]), (SA, SB))
+
+    def unsp(o):
+        m = jnp.moveaxis(o, 0, -2)
+        return m.reshape(m.shape[:-2] + (-1,))
+
+    return tuple(unsp(o) for o in out)
+
+
 @functools.lru_cache(maxsize=None)
 def _stage_fns_batched(curve: CurveSpec, n: int, c: int, K: int, R: int):
     """Round-BATCHED per-chunk device programs (round-5 redesign).
@@ -264,12 +295,13 @@ def _stage_fns_batched(curve: CurveSpec, n: int, c: int, K: int, R: int):
                    for i in range(3))
         carry = ops.select(frj & valid, cg,
                            ops.infinity((R, nbuckets)))
-        bt = ops.add_unsafe(g, carry)
+        bt = _mapped_pairwise(ops.add_unsafe, g, carry)
         return ops.select(valid, bt, ops.infinity((R, nbuckets)))
 
     @jax.jit
     def fold(bacc, bj):
-        return ops.c_add(bacc, ops.j2c(bj))
+        return _mapped_pairwise(
+            lambda a, b: ops.c_add(a, ops.j2c(b)), bacc, bj)
 
     def chunk_buckets(PT, scalars, bacc):
         """ONE chunk, ALL rounds: 5 chained dispatches."""
@@ -315,7 +347,8 @@ def _bucket_phase_batched(ops, buckets, nbuckets: int, K2: int):
     carry = ops.select(idx2 >= 1, pp._roll(scanned, 1),
                        ops.c_infinity((R, B2)))
 
-    S = ops.c_add(local, tuple(cc[..., None] for cc in carry))
+    S = _mapped_pairwise(ops.c_add, local,
+                         tuple(cc[..., None] for cc in carry))
     Sf = tuple(s.reshape(s.shape[:-2] + (nbuckets,)) for s in S)
     keep = jnp.arange(nbuckets) != (nbuckets - 1)
     Sf = ops.c_mask_to_infinity(keep, Sf)
